@@ -1,0 +1,325 @@
+"""Overlap (-m / --matrix) and existence (-x / --existence) commands.
+
+Mirrors /root/reference/src/overlap.cc:607-1079: reads one or two
+repertoire sets, logs per-repertoire tables, warns about exact
+duplicates, finds all matching sequence pairs under the distance spec,
+accumulates duplicate-count-weighted scores into a
+[repertoires1 x repertoires2] matrix (matrix mode) or
+[sequences1 x repertoires2] matrix (existence mode), applies
+Morisita-Horn / Jaccard post-processing, and writes the matrix,
+3-column, and pairs outputs.
+
+The matching itself runs on the TPU grid engine (ops/engine.py); score
+accumulation happens on host in float64 in the reference's
+single-threaded emission order (seed-major, variant order), making
+outputs byte-identical.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import IO, Optional
+
+import numpy as np
+
+from ..config import Options
+from ..constants import MAXDIFF_HASH
+from ..core.db import GeneTables, SeqDB, repertoire_stats
+from ..core.exact import count_duplicates
+from ..core.score import fmt, matrix_cell_value, pair_scores
+from ..core.variant_order import sort_pairs_reference_order
+from ..io.airr import read_db
+from ..utils.progress import Logger, fatal
+
+
+def _repertoire_table(
+    db: SeqDB, stats, order: np.ndarray, logger: Logger
+) -> None:
+    """Per-set repertoire listing (overlap.cc:657-697)."""
+    reps = db.repertoire_count
+    sum_size = int(stats.size.sum())
+    sum_count = int(stats.count.sum())
+    w1 = max(1, 1 + int(math.floor(math.log10(reps))) if reps else 1)
+    w2 = max(9, 1 + int(math.floor(math.log10(sum_size))) if sum_size else 9)
+    w3 = max(5, 1 + int(math.floor(math.log10(sum_count))) if sum_count else 5)
+
+    logger.write("Repertoires in set:\n")
+    logger.write(
+        "%*s %*s %*s %s\n" % (w1, "#", w2, "Sequences", w3, "Count", "Repertoire ID")
+    )
+    for i in range(reps):
+        s = int(order[i])
+        logger.write(
+            "%*u %*u %*u %s\n"
+            % (
+                w1,
+                i + 1,
+                w2,
+                int(stats.size[s]),
+                w3,
+                int(stats.count[s]),
+                db.repertoire_ids[s],
+            )
+        )
+    logger.write("\n")
+
+
+def _write_pairs_header(opt: Options, pairsfile: IO[str]) -> None:
+    # overlap.cc:908-925
+    pairsfile.write(
+        "#repertoire_id_1\tsequence_id_1\tduplicate_count_1\t"
+        f"v_call_1\tj_call_1\t{opt.seq_header}_1"
+    )
+    for name in opt.keep_columns_names:
+        pairsfile.write(f"\t{name}_1")
+    pairsfile.write(
+        "\trepertoire_id_2\tsequence_id_2\tduplicate_count_2\t"
+        f"v_call_2\tj_call_2\t{opt.seq_header}_2"
+    )
+    for name in opt.keep_columns_names:
+        pairsfile.write(f"\t{name}_2")
+    if opt.distance:
+        pairsfile.write("\tdistance")
+    pairsfile.write("\n")
+
+
+def _write_pairs(
+    opt: Options,
+    pairsfile: IO[str],
+    d1: SeqDB,
+    d2: SeqDB,
+    idx1: np.ndarray,
+    idx2: np.ndarray,
+    dist: np.ndarray,
+) -> None:
+    # overlap.cc:455-507
+    keep = bool(opt.keep_columns_names)
+    for a, b, dd in zip(idx1, idx2, dist):
+        a = int(a)
+        b = int(b)
+        parts = [
+            d1.repertoire_ids[d1.rep_no[a]],
+            d1.sequence_id_str(a),
+            str(int(d1.counts[a])),
+            d1.v_name(a),
+            d1.j_name(a),
+            d1.sequence_str(a),
+        ]
+        if keep:
+            parts.append(d1.keep_str(a))
+        parts += [
+            d2.repertoire_ids[d2.rep_no[b]],
+            d2.sequence_id_str(b),
+            str(int(d2.counts[b])),
+            d2.v_name(b),
+            d2.j_name(b),
+            d2.sequence_str(b),
+        ]
+        if keep:
+            parts.append(d2.keep_str(b))
+        if opt.distance:
+            parts.append(str(int(dd)))
+        pairsfile.write("\t".join(parts) + "\n")
+
+
+def overlap(
+    opt: Options,
+    logger: Logger,
+    outfile: IO[str],
+    pairsfile: Optional[IO[str]] = None,
+) -> None:
+    from ..ops.engine import MatchSpec, find_pairs
+
+    genes = GeneTables()
+
+    # ---- set 1 (overlap.cc:614-703) ----
+    logger.write("Immune receptor repertoire set 1\n\n")
+    d1 = read_db(opt.input1, opt, genes, logger, opt.existence, "1")
+    logger.write("\n")
+
+    stats1 = repertoire_stats(d1)
+    order1 = d1.repertoire_order()
+    _repertoire_table(d1, stats1, order1, logger)
+
+    if opt.existence and d1.repertoire_count > 1:
+        fatal(
+            "Multiple repertoires are not allowed in the first file "
+            "specified on the command line with the -x or --existence "
+            "command."
+        )
+
+    # ---- set 2 (overlap.cc:705-825) ----
+    logger.write("Immune receptor repertoire set 2\n\n")
+    if opt.input2 and opt.input2 != opt.input1:
+        d2 = read_db(opt.input2, opt, genes, logger, False, "2")
+        logger.write("\n")
+        stats2 = repertoire_stats(d2)
+        order2 = d2.repertoire_order()
+        if d2.repertoire_count > 0:
+            _repertoire_table(d2, stats2, order2, logger)
+        else:
+            fatal("Repertoire set missing repertoire_id.")
+        same_set = False
+    else:
+        d2 = d1
+        logger.write("Set 2 is identical to set 1\n")
+        logger.write("\n")
+        stats2 = stats1
+        order2 = order1
+        if d2.repertoire_count == 0:
+            fatal("Repertoire set is missing repertoire_id.")
+        same_set = True
+
+    logger.write(f"Unique V genes:    {len(genes.v_names)}\n")
+    logger.write(f"Unique J genes:    {len(genes.j_names)}\n")
+
+    r1 = d1.repertoire_count
+    r2 = d2.repertoire_count
+    n1 = d1.n
+
+    # ---- duplicate warnings (overlap.cc:838-874) ----
+    if opt.differences <= MAXDIFF_HASH:
+        logger.progress_init("Computing hashes: ", d1.n)
+        logger.progress_update(d1.n)
+        logger.progress_done()
+        if not same_set:
+            logger.progress_init("Check duplicates: ", d1.n)
+            dup1 = count_duplicates(d1, include_genes=not opt.ignore_genes)
+            logger.progress_update(d1.n)
+            logger.progress_done()
+            if dup1 > 0:
+                logger.write(
+                    f"Warning: {dup1} duplicates detected in repertoire "
+                    "set 1\n"
+                )
+            logger.progress_init("Computing hashes: ", d2.n)
+            logger.progress_update(d2.n)
+            logger.progress_done()
+        logger.progress_init("Hashing sequences:", d2.n)
+        dup2 = count_duplicates(d2, include_genes=not opt.ignore_genes)
+        logger.progress_update(d2.n)
+        logger.progress_done()
+        if dup2 > 0:
+            logger.write(
+                f"Warning: {dup2} duplicates detected in repertoire set 2\n"
+            )
+
+    # ---- analysis ----
+    if pairsfile is not None:
+        _write_pairs_header(opt, pairsfile)
+
+    spec = MatchSpec(
+        differences=opt.differences,
+        indels=opt.indels,
+        ignore_genes=opt.ignore_genes,
+    )
+    idx1, idx2, dist = find_pairs(
+        d1, d2, spec, logger, "Analysing:        "
+    )
+
+    # reference single-thread emission order: seed-major, variant order
+    lmax = max(d1.longest, d2.longest, 1)
+    d1.repad(lmax)
+    d2.repad(lmax)
+    perm = sort_pairs_reference_order(
+        d1.seqs, d1.lengths, d2.seqs, d2.lengths, idx1, idx2
+    )
+    idx1, idx2, dist = idx1[perm], idx2[perm], dist[perm]
+
+    scores = pair_scores(
+        d1.counts[idx1], d2.counts[idx2], opt.score_int, opt.ignore_counts
+    )
+
+    matrix: Optional[np.ndarray] = None
+    if not opt.no_matrix:
+        if opt.matrix:
+            matrix = np.zeros((r1, r2), dtype=np.float64)
+            np.add.at(matrix, (d1.rep_no[idx1], d2.rep_no[idx2]), scores)
+        else:
+            matrix = np.zeros((n1, r2), dtype=np.float64)
+            np.add.at(matrix, (idx1, d2.rep_no[idx2]), scores)
+
+    if pairsfile is not None:
+        _write_pairs(opt, pairsfile, d1, d2, idx1, idx2, dist)
+
+    # ---- write results (overlap.cc:944-1039) ----
+    if not opt.no_matrix:
+        assert matrix is not None
+
+        def cell(s: int, t: int) -> str:
+            return fmt(
+                matrix_cell_value(
+                    matrix[s, t],
+                    opt.score_int,
+                    s,
+                    t,
+                    stats1.count,
+                    stats1.sq_count,
+                    stats2.count,
+                    stats2.sq_count,
+                )
+            )
+
+        if opt.alternative:
+            if opt.matrix:
+                logger.progress_init("Writing results:  ", r1 * r2)
+                outfile.write("#repertoire_id_1\trepertoire_id_2\tmatches\n")
+                x = 0
+                for i in range(r1):
+                    s = int(order1[i])
+                    for jj in range(r2):
+                        t = int(order2[jj])
+                        outfile.write(
+                            f"{d1.repertoire_ids[s]}\t"
+                            f"{d2.repertoire_ids[t]}\t{cell(s, t)}\n"
+                        )
+                        x += 1
+                        logger.progress_update(x)
+            else:
+                logger.progress_init("Writing results:  ", n1 * r2)
+                outfile.write("#sequence_id_1\trepertoire_id_2\tmatches\n")
+                x = 0
+                for i in range(n1):
+                    for jj in range(r2):
+                        t = int(order2[jj])
+                        outfile.write(
+                            f"{d1.sequence_id_str(i)}\t"
+                            f"{d2.repertoire_ids[t]}\t{cell(i, t)}\n"
+                        )
+                        x += 1
+                        logger.progress_update(x)
+        else:
+            header = "#" + "".join(
+                "\t" + d2.repertoire_ids[int(order2[jj])] for jj in range(r2)
+            )
+            if opt.matrix:
+                logger.progress_init("Writing results:  ", r1 * r2)
+                outfile.write(header + "\n")
+                x = 0
+                for i in range(r1):
+                    s = int(order1[i])
+                    row = [d1.repertoire_ids[s]]
+                    for jj in range(r2):
+                        t = int(order2[jj])
+                        row.append(cell(s, t))
+                        x += 1
+                        logger.progress_update(x)
+                    outfile.write("\t".join(row) + "\n")
+            else:
+                logger.progress_init("Writing results:  ", n1 * r2)
+                outfile.write(header + "\n")
+                x = 0
+                for i in range(n1):
+                    row = [d1.sequence_id_str(i)]
+                    for jj in range(r2):
+                        t = int(order2[jj])
+                        row.append(cell(i, t))
+                        x += 1
+                        logger.progress_update(x)
+                    outfile.write("\t".join(row) + "\n")
+        logger.progress_done()
+    else:
+        logger.progress_init("Writing results:  ", 1)
+        logger.progress_done()
+
+    logger.write("\n")

@@ -4,7 +4,10 @@ import sys
 # Tests run on a virtual 8-device CPU mesh so sharding logic is
 # exercised without TPU hardware (the standard JAX trick; the driver
 # separately dry-runs the multi-chip path).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+# the axon TPU plugin registers itself whenever PALLAS_AXON_POOL_IPS is
+# set and overrides platform selection; clear it for CPU-only tests
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
