@@ -1,0 +1,160 @@
+"""Differential tests: byte-compare our outputs against the reference
+binary (if available) across flag combinations on synthetic data.
+
+These only run where a compiled reference binary exists (built into
+/tmp/refbuild by the development environment); they are skipped
+elsewhere. The golden-file tests in test_overlap.py/test_dedup.py cover
+the committed expectations.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from synth import make_tsv
+
+REF_BIN = "/tmp/refbuild/src/compairr"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_BIN), reason="reference binary not available"
+)
+
+
+def run_ref(args, cwd):
+    r = subprocess.run(
+        [REF_BIN, *args], capture_output=True, text=True, cwd=cwd
+    )
+    assert r.returncode == 0, f"ref failed: {r.stderr}"
+    return r
+
+
+def run_ours(args, cwd):
+    r = subprocess.run(
+        [sys.executable, "-m", "compairr_tpu", *args],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env={**os.environ, "PYTHONPATH": "/root/repo"},
+    )
+    assert r.returncode == 0, f"ours failed: {r.stderr}"
+    return r
+
+
+def compare_outputs(tmp_path, inputs, flags, pairs=False):
+    ref_out = tmp_path / "ref_out.tsv"
+    our_out = tmp_path / "our_out.tsv"
+    ref_args = [*flags, *inputs, "-o", str(ref_out)]
+    our_args = [*flags, *inputs, "-o", str(our_out)]
+    if pairs:
+        ref_pairs = tmp_path / "ref_pairs.tsv"
+        our_pairs = tmp_path / "our_pairs.tsv"
+        ref_args += ["-p", str(ref_pairs)]
+        our_args += ["-p", str(our_pairs)]
+    run_ref(ref_args, str(tmp_path))
+    run_ours(our_args, str(tmp_path))
+    assert our_out.read_text() == ref_out.read_text(), f"flags={flags}"
+    if pairs:
+        assert (
+            our_pairs.read_text() == ref_pairs.read_text()
+        ), f"pairs flags={flags}"
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth")
+    a = make_tsv(str(d / "a.tsv"), 300, 4, seed=1)
+    b = make_tsv(str(d / "b.tsv"), 400, 5, seed=2)
+    return d, a, b
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [
+        ["-m", "-d", "0"],
+        ["-m", "-d", "1"],
+        ["-m", "-d", "1", "-i"],
+        ["-m", "-d", "2"],
+        ["-m", "-d", "3"],
+        ["-m", "-d", "1", "-g"],
+        ["-m", "-d", "1", "-f"],
+        ["-m", "-d", "1", "-a"],
+        ["-m", "-d", "2", "-s", "ratio"],
+        ["-m", "-d", "1", "-s", "min"],
+        ["-m", "-d", "1", "-s", "max"],
+        ["-m", "-d", "1", "-s", "mean"],
+        ["-m", "-d", "0", "-s", "MH"],
+        ["-m", "-d", "0", "-s", "Jaccard"],
+        ["-m", "-d", "1", "-n"],
+    ],
+)
+def test_matrix_two_sets(data, tmp_path, flags):
+    _, a, b = data
+    compare_outputs(tmp_path, [a, b], flags)
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [
+        ["-m", "-d", "0"],
+        ["-m", "-d", "1", "-i"],
+        ["-m", "-d", "2"],
+    ],
+)
+def test_matrix_self(data, tmp_path, flags):
+    _, a, _b = data
+    compare_outputs(tmp_path, [a], flags)
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [
+        ["-m", "-d", "1"],
+        ["-m", "-d", "1", "-i", "--distance"],
+        ["-m", "-d", "2", "--distance"],
+        ["-m", "-d", "1", "-k", "colx,coly"],
+    ],
+)
+def test_pairs_file(data, tmp_path, flags):
+    _, a, b = data
+    compare_outputs(tmp_path, [a, b], flags, pairs=True)
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [
+        ["-c", "-d", "1"],
+        ["-c", "-d", "1", "-i"],
+        ["-c", "-d", "2"],
+        ["-c", "-d", "1", "-g"],
+        ["-c", "-d", "3"],
+        ["-c", "-d", "1", "-n"],
+    ],
+)
+def test_cluster(data, tmp_path, flags):
+    _, a, _b = data
+    compare_outputs(tmp_path, [a], flags)
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [
+        ["-z"],
+        ["-z", "-g"],
+        ["-z", "-f"],
+        ["-z", "-n"],
+    ],
+)
+def test_dedup(data, tmp_path, flags):
+    _, a, _b = data
+    compare_outputs(tmp_path, [a], flags)
+
+
+def test_existence(data, tmp_path):
+    d, _a, b = data
+    # existence set 1: single repertoire, sequence_id required
+    c = make_tsv(str(d / "c.tsv"), 50, 1, seed=3)
+    compare_outputs(tmp_path, [c, b], ["-x", "-d", "1"])
+    compare_outputs(tmp_path, [c, b], ["-x", "-d", "1", "-a"])
+    compare_outputs(tmp_path, [c, b], ["-x", "-d", "0", "-f"], pairs=True)
