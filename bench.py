@@ -1,0 +1,121 @@
+"""Benchmark: repertoire overlap matrix at d=2 on synthetic CDR3 data.
+
+Prints one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: CompAIRR's headline benchmark (README.md:726-755) — Keck
+24.2M-sequence self-comparison, d=2, 4 threads, 3200 s on an M1 —
+i.e. ~1.83e11 effective candidate pairs/s (5.86e14 pairs / 3200 s).
+We measure the same quantity: N1*N2 candidate pairs / wall-clock for a
+--matrix run at d=2 with product scoring, on one chip.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_PAIRS_PER_SEC = 5.86e14 / 3200.0  # CompAIRR d=2, 4 threads (M1)
+
+AA_LEN_MEAN, AA_LEN_STD = 14.5, 1.8
+LEN_LO, LEN_HI = 9, 22
+
+
+def synth_arrays(n, n_reps, n_v, n_j, seed):
+    """Synthetic repertoire with a realistic CDR3 length distribution."""
+    from compairr_tpu.core.db import GeneTables, SeqDB
+
+    rng = np.random.default_rng(seed)
+    lengths = np.clip(
+        np.round(rng.normal(AA_LEN_MEAN, AA_LEN_STD, size=n)),
+        LEN_LO,
+        LEN_HI,
+    ).astype(np.int32)
+    lmax = int(lengths.max())
+    seqs = np.full((n, lmax), 20, dtype=np.int8)
+    mask = np.arange(lmax)[None, :] < lengths[:, None]
+    vals = rng.integers(0, 20, size=(n, lmax), dtype=np.int8)
+    seqs[mask] = vals[mask]
+    genes = GeneTables()
+    for k in range(n_v):
+        genes.intern_v(f"TRBV{k}")
+    for k in range(n_j):
+        genes.intern_j(f"TRBJ{k}")
+    return SeqDB(
+        nucleotides=False,
+        seqs=seqs,
+        lengths=lengths,
+        counts=rng.integers(1, 100, size=n).astype(np.int64),
+        rep_no=rng.integers(0, n_reps, size=n).astype(np.int32),
+        v_no=rng.integers(0, n_v, size=n).astype(np.int32),
+        j_no=rng.integers(0, n_j, size=n).astype(np.int32),
+        sequence_ids=[None] * n,
+        keep=[None] * n,
+        repertoire_ids=[f"R{r:03d}" for r in range(n_reps)],
+        genes=genes,
+        residues_count=int(lengths.sum()),
+        total_dup_count=n,
+        shortest=int(lengths.min()),
+        longest=lmax,
+    )
+
+
+def main():
+    import jax
+
+    from compairr_tpu.constants import SCORE_PRODUCT
+    from compairr_tpu.ops.engine import MatchSpec, dense_matrix
+
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu",)
+    n = int(os.environ.get("COMPAIRR_BENCH_N", 200_000 if on_tpu else 8_192))
+    tile = int(os.environ.get("COMPAIRR_BENCH_TILE", 1024 if on_tpu else 256))
+
+    d1 = synth_arrays(n, n_reps=60, n_v=48, n_j=13, seed=1)
+    d2 = synth_arrays(n, n_reps=60, n_v=48, n_j=13, seed=2)
+
+    # plant ~1% near-duplicates so the run produces real matches
+    rng = np.random.default_rng(7)
+    k = max(n // 100, 1)
+    src = rng.choice(n, size=k, replace=False)
+    dst = rng.choice(n, size=k, replace=False)
+    width = min(d1.seqs.shape[1], d2.seqs.shape[1])
+    d2.seqs[dst, :width] = d1.seqs[src, :width]
+    d2.lengths[dst] = np.minimum(d1.lengths[src], width)
+    d2.v_no[dst] = d1.v_no[src]
+    d2.j_no[dst] = d1.j_no[src]
+    pos = rng.integers(0, LEN_LO, size=k)
+    d2.seqs[dst, pos] = (d2.seqs[dst, pos] + 1) % 20
+
+    spec = MatchSpec(differences=2, indels=False, ignore_genes=False)
+
+    # warmup (compile)
+    m = dense_matrix(
+        d1, d2, spec, SCORE_PRODUCT, False, tile_m=tile, tile_n=tile
+    )
+
+    t0 = time.perf_counter()
+    m = dense_matrix(
+        d1, d2, spec, SCORE_PRODUCT, False, tile_m=tile, tile_n=tile
+    )
+    wall = time.perf_counter() - t0
+
+    pairs = float(n) * float(n)
+    rate = pairs / wall
+    result = {
+        "metric": f"d=2 matrix candidate-pairs/sec/chip ({n}x{n}, {backend})",
+        "value": rate,
+        "unit": "pairs/s",
+        "vs_baseline": rate / BASELINE_PAIRS_PER_SEC,
+        "wall_s": wall,
+        "matrix_checksum": float(m.sum()),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -64,6 +64,9 @@ class PackedSet:
     v: np.ndarray  # int32 [Np]
     j: np.ndarray  # int32 [Np]
     orig: np.ndarray  # int64 [Np] original index, -1 for padding
+    rep: np.ndarray  # int32 [Np] repertoire index, -1 for padding
+    counts: np.ndarray  # float32 [Np] duplicate counts, 0 for padding
+    key: np.ndarray  # int64 [Np] sort key (see pack_set), huge for padding
     n: int  # real sequence count
 
     @property
@@ -88,11 +91,31 @@ def _reverse_rows(seqs: np.ndarray, lengths: np.ndarray, pad: int) -> np.ndarray
     return out
 
 
-def pack_set(db: SeqDB, lmax: int, tile: int) -> PackedSet:
-    """Sort by length and pad row count to a tile multiple plus one
-    all-padding dummy tile (the target of worklist padding)."""
+_KEY_PAD = np.int64(1) << 62
+
+
+def pack_set(
+    db: SeqDB, lmax: int, tile: int, by_vjl: bool = False
+) -> PackedSet:
+    """Sort by a bucket key and pad row count to a tile multiple plus
+    one all-padding dummy tile (the target of worklist padding).
+
+    by_vjl=False sorts by length alone; by_vjl=True sorts by
+    (v_gene, j_gene, length) — the match precondition
+    (/root/reference/src/overlap.cc:195-196) — which shrinks the tile
+    worklist by orders of magnitude when genes must agree, the
+    TPU-grid analogue of the reference's variant-hashing pair
+    avoidance. The length occupies the low 16 bits of the key so the
+    indel tolerance is a +-1 key range within the same gene pair.
+    """
     n = db.n
-    order = np.argsort(db.lengths, kind="stable")
+    if by_vjl:
+        nj = max(len(db.genes.j_names), 1)
+        vj = db.v_no.astype(np.int64) * nj + db.j_no.astype(np.int64)
+        key_real = (vj << 16) | db.lengths.astype(np.int64)
+    else:
+        key_real = db.lengths.astype(np.int64)
+    order = np.argsort(key_real, kind="stable")
     pad_rows = (-n) % tile + tile  # at least one full dummy tile
     npad = n + pad_rows
 
@@ -110,40 +133,71 @@ def pack_set(db: SeqDB, lmax: int, tile: int) -> PackedSet:
         jj[:n] = db.j_no[order]
     orig = np.full(npad, -1, dtype=np.int64)
     orig[:n] = order
+    rep = np.full(npad, -1, dtype=np.int32)
+    counts = np.zeros(npad, dtype=np.float32)
+    key = np.full(npad, _KEY_PAD, dtype=np.int64)
+    if n:
+        rep[:n] = db.rep_no[order]
+        counts[:n] = db.counts[order].astype(np.float32)
+        key[:n] = key_real[order]
 
     rseqs = np.full((npad, lmax), pad_val, dtype=np.int8)
     if n:
         rseqs[:n] = _reverse_rows(seqs[:n], lengths[:n], pad_val)
 
     return PackedSet(
-        seqs=seqs, rseqs=rseqs, lengths=lengths, v=v, j=jj, orig=orig, n=n
+        seqs=seqs,
+        rseqs=rseqs,
+        lengths=lengths,
+        v=v,
+        j=jj,
+        orig=orig,
+        rep=rep,
+        counts=counts,
+        key=key,
+        n=n,
+    )
+
+
+def worklist_from_keys(
+    keys_a: np.ndarray,
+    n_a: int,
+    keys_b: np.ndarray,
+    n_b: int,
+    delta: int,
+    tile_m: int,
+    tile_n: int,
+) -> np.ndarray:
+    """Tile worklist from sorted bucket keys: for each aligned row
+    block, the compatible columns (keys within the block's key range
+    +- the length tolerance) form one contiguous range. Tiles stay
+    aligned to the global grid so no pair is ever visited twice."""
+    if n_a == 0 or n_b == 0:
+        return np.zeros((0, 2), dtype=np.int32)
+    kb = keys_b[:n_b]
+    row_starts = np.arange(0, n_a, tile_m)
+    row_ends = np.minimum(row_starts + tile_m, n_a) - 1
+    lo_keys = keys_a[row_starts] - delta
+    hi_keys = keys_a[row_ends] + delta
+    los = np.searchsorted(kb, lo_keys, side="left")
+    his = np.searchsorted(kb, hi_keys, side="right")
+    starts = []
+    for ra, lo, hi in zip(row_starts, los, his):
+        if hi <= lo:
+            continue
+        for rb in range((int(lo) // tile_n) * tile_n, int(hi), tile_n):
+            starts.append((ra, rb))
+    return np.asarray(starts, dtype=np.int32) if starts else np.zeros(
+        (0, 2), dtype=np.int32
     )
 
 
 def build_worklist(
     a: PackedSet, b: PackedSet, spec: MatchSpec, tile_m: int, tile_n: int
 ) -> np.ndarray:
-    """Host-side tile worklist: (row_start, col_start) pairs covering
-    every block whose length ranges can contain a match. Sets are
-    length-sorted, so compatible columns form one contiguous range per
-    row block."""
-    n_a, n_b = a.n, b.n
-    if n_a == 0 or n_b == 0:
-        return np.zeros((0, 2), dtype=np.int32)
     delta = 1 if (spec.indels and spec.differences == 1) else 0
-    lens_b = b.lengths[:n_b]
-    starts = []
-    for ra in range(0, n_a, tile_m):
-        lo_len = int(a.lengths[ra]) - delta
-        hi_len = int(a.lengths[min(ra + tile_m, n_a) - 1]) + delta
-        lo = int(np.searchsorted(lens_b, lo_len, side="left"))
-        hi = int(np.searchsorted(lens_b, hi_len, side="right"))
-        if hi <= lo:
-            continue
-        for rb in range((lo // tile_n) * tile_n, hi, tile_n):
-            starts.append((ra, rb))
-    return np.asarray(starts, dtype=np.int32) if starts else np.zeros(
-        (0, 2), dtype=np.int32
+    return worklist_from_keys(
+        a.key, a.n, b.key, b.n, delta, tile_m, tile_n
     )
 
 
@@ -207,6 +261,224 @@ def _tile_codes(
     return jnp.where(match, dist + 1, 0).astype(jnp.int8)
 
 
+def _tile_match(
+    a_seq,
+    a_rseq,
+    a_len,
+    a_v,
+    a_j,
+    b_seq,
+    b_rseq,
+    b_len,
+    b_v,
+    b_j,
+    *,
+    differences: int,
+    indels: bool,
+    ignore_genes: bool,
+    mxu: bool,
+):
+    """Boolean match mask for one tile. With mxu=True the Hamming
+    distance comes from a one-hot int8 matmul (pad residue one-hots to
+    itself, so for equal-length pairs distance = padded_width -
+    matches) — the MXU-friendly formulation."""
+    lpad = a_seq.shape[1]
+    if mxu:
+        nclass = 32  # >= alphabet+pad, padded for clean tiling
+        cls = lax.broadcasted_iota(jnp.int8, (1, 1, nclass), 2)
+        oh_a = (a_seq[:, :, None] == cls).astype(jnp.int8)
+        oh_b = (b_seq[:, :, None] == cls).astype(jnp.int8)
+        oh_a = oh_a.reshape(a_seq.shape[0], lpad * nclass)
+        oh_b = oh_b.reshape(b_seq.shape[0], lpad * nclass)
+        matches = lax.dot_general(
+            oh_a,
+            oh_b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        mism = lpad - matches
+    else:
+        mism = jnp.sum(
+            a_seq[:, None, :] != b_seq[None, :, :], axis=2, dtype=jnp.int32
+        )
+    len_eq = a_len[:, None] == b_len[None, :]
+    valid = (a_len[:, None] > 0) & (b_len[None, :] > 0)
+    match = len_eq & (mism <= differences)
+    dist = mism
+
+    if indels:
+        pref_eq = (a_seq[:, None, :] == b_seq[None, :, :]).astype(jnp.int32)
+        pref = jnp.sum(jnp.cumprod(pref_eq, axis=2), axis=2, dtype=jnp.int32)
+        suf_eq = (a_rseq[:, None, :] == b_rseq[None, :, :]).astype(jnp.int32)
+        suf = jnp.sum(jnp.cumprod(suf_eq, axis=2), axis=2, dtype=jnp.int32)
+        minlen = jnp.minimum(a_len[:, None], b_len[None, :])
+        len_pm1 = jnp.abs(a_len[:, None] - b_len[None, :]) == 1
+        match = match | (len_pm1 & (pref + suf >= minlen))
+        dist = jnp.where(len_pm1, 1, dist)
+
+    if not ignore_genes:
+        match = match & (a_v[:, None] == b_v[None, :]) & (
+            a_j[:, None] == b_j[None, :]
+        )
+    return match & valid, dist
+
+
+def pair_score_tile(ca, cb, score_int: int, ignore_counts: bool):
+    """Per-pair score g(count_a, count_b) on a tile
+    (compute_score, /root/reference/src/overlap.cc:144-166)."""
+    from ..constants import (
+        SCORE_JACCARD,
+        SCORE_MAX,
+        SCORE_MEAN,
+        SCORE_MH,
+        SCORE_MIN,
+        SCORE_PRODUCT,
+        SCORE_RATIO,
+    )
+
+    if ignore_counts:
+        return jnp.ones((ca.shape[0], cb.shape[0]), dtype=jnp.float32)
+    a = ca[:, None]
+    b = cb[None, :]
+    if score_int in (SCORE_MH, SCORE_PRODUCT):
+        return a * b
+    if score_int == SCORE_RATIO:
+        return a / jnp.where(b == 0, 1.0, b)
+    if score_int in (SCORE_JACCARD, SCORE_MIN):
+        return jnp.minimum(a, b) + jnp.zeros_like(a + b)
+    if score_int == SCORE_MAX:
+        return jnp.maximum(a, b) + jnp.zeros_like(a + b)
+    return (a + b) / 2
+
+
+def dense_tile_contrib(
+    a_args, b_args, ra, rb, *, spec_kw, score_int, ignore_counts,
+    r1p, r2p, tile_m, tile_n, mxu,
+):
+    """One worklist tile's [R1p, R2p] score contribution (device code,
+    usable under jit and shard_map alike)."""
+    (a_seq, a_rseq, a_len, a_v, a_j, a_rep, a_cnt) = a_args
+    (b_seq, b_rseq, b_len, b_v, b_j, b_rep, b_cnt) = b_args
+    sl_a = lambda x: lax.dynamic_slice_in_dim(x, ra, tile_m, axis=0)
+    sl_b = lambda x: lax.dynamic_slice_in_dim(x, rb, tile_n, axis=0)
+    match, _ = _tile_match(
+        sl_a(a_seq), sl_a(a_rseq), sl_a(a_len), sl_a(a_v), sl_a(a_j),
+        sl_b(b_seq), sl_b(b_rseq), sl_b(b_len), sl_b(b_v), sl_b(b_j),
+        mxu=mxu, **spec_kw,
+    )
+    g = pair_score_tile(sl_a(a_cnt), sl_b(b_cnt), score_int, ignore_counts)
+    sc = jnp.where(match, g, 0.0)
+    ia = sl_a(a_rep)
+    ib = sl_b(b_rep)
+    oh1 = (
+        ia[:, None] == lax.broadcasted_iota(jnp.int32, (1, r1p), 1)
+    ).astype(jnp.float32)
+    oh2 = (
+        ib[:, None] == lax.broadcasted_iota(jnp.int32, (1, r2p), 1)
+    ).astype(jnp.float32)
+    part = lax.dot_general(
+        oh1, sc, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return lax.dot_general(
+        part, oh2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@lru_cache(maxsize=None)
+def _dense_fn(
+    spec: MatchSpec, score_int: int, ignore_counts: bool,
+    tile_m: int, tile_n: int, r1p: int, r2p: int, mxu: bool,
+):
+    spec_kw = dict(
+        differences=spec.differences,
+        indels=spec.indels and spec.differences == 1,
+        ignore_genes=spec.ignore_genes,
+    )
+
+    def run(a_args, b_args, starts):
+        def step(acc, st):
+            contrib = dense_tile_contrib(
+                a_args, b_args, st[0], st[1],
+                spec_kw=spec_kw, score_int=score_int,
+                ignore_counts=ignore_counts, r1p=r1p, r2p=r2p,
+                tile_m=tile_m, tile_n=tile_n, mxu=mxu,
+            )
+            return acc + contrib, None
+
+        acc0 = jnp.zeros((r1p, r2p), dtype=jnp.float32)
+        acc, _ = lax.scan(step, acc0, (starts[:, 0], starts[:, 1]))
+        return acc
+
+    return jax.jit(run)
+
+
+def _device_args(p: PackedSet):
+    dev = jax.device_put
+    return (
+        dev(p.seqs), dev(p.rseqs), dev(p.lengths), dev(p.v), dev(p.j),
+        dev(p.rep), dev(p.counts),
+    )
+
+
+def dense_matrix(
+    db1: SeqDB,
+    db2: SeqDB,
+    spec: MatchSpec,
+    score_int: int,
+    ignore_counts: bool,
+    logger: Optional[Logger] = None,
+    progress_prompt: Optional[str] = None,
+    tile_m: int = TILE_M,
+    tile_n: int = TILE_N,
+) -> np.ndarray:
+    """Dense path: accumulate the [R1, R2] overlap matrix on device.
+
+    Float32 accumulation on device (exact for the integer-score modes
+    while per-cell partial sums stay below 2^24), float64 on return.
+    The sparse path (find_pairs + host f64) is the byte-exact reference
+    path; this one is for bulk throughput.
+    """
+    lmax = int(max(db1.longest, db2.longest, 1))
+    mxu = jax.default_backend() != "cpu"
+    by_vjl = not spec.ignore_genes
+    a = pack_set(db1, lmax, tile_m, by_vjl)
+    b = (
+        a
+        if (db2 is db1 and tile_m == tile_n)
+        else pack_set(db2, lmax, tile_n, by_vjl)
+    )
+    work = build_worklist(a, b, spec, tile_m, tile_n)
+    r1p = _round_up(max(db1.repertoire_count, 1), 8)
+    r2p = _round_up(max(db2.repertoire_count, 1), 128)
+
+    if logger is not None and progress_prompt is not None:
+        logger.progress_init(progress_prompt, max(len(work), 1))
+
+    if len(work) == 0:
+        acc = np.zeros((r1p, r2p), dtype=np.float32)
+    else:
+        fn = _dense_fn(
+            spec, score_int, ignore_counts, tile_m, tile_n, r1p, r2p, mxu
+        )
+        acc = np.asarray(
+            fn(_device_args(a), _device_args(b), jnp.asarray(work))
+        )
+
+    if logger is not None and progress_prompt is not None:
+        logger.progress_update(len(work))
+        logger.progress_done()
+
+    return acc[: db1.repertoire_count, : db2.repertoire_count].astype(
+        np.float64
+    )
+
+
 @lru_cache(maxsize=None)
 def _slab_fn(spec: MatchSpec, tile_m: int, tile_n: int):
     kw = dict(
@@ -249,9 +521,10 @@ def find_pairs(
     Returns (idx1, idx2, dist) in original indices, unordered.
     """
     lmax = int(max(db1.longest, db2.longest, 1))
-    a = pack_set(db1, lmax, TILE_M)
-    b = pack_set(db2, lmax, TILE_N) if db2 is not db1 else (
-        a if TILE_M == TILE_N else pack_set(db2, lmax, TILE_N)
+    by_vjl = not spec.ignore_genes
+    a = pack_set(db1, lmax, TILE_M, by_vjl)
+    b = pack_set(db2, lmax, TILE_N, by_vjl) if db2 is not db1 else (
+        a if TILE_M == TILE_N else pack_set(db2, lmax, TILE_N, by_vjl)
     )
 
     work = build_worklist(a, b, spec, TILE_M, TILE_N)

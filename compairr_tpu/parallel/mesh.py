@@ -1,0 +1,195 @@
+"""Multi-chip distribution of the overlap computation.
+
+The reference's only parallelism is pthreads over set-1 seeds with
+mutex-merged thread-local matrices (/root/reference/src/overlap.cc:
+376-538, threads.h). The TPU-native equivalent: shard set-1 rows across
+a 1-D device mesh, replicate (or later ring-stream) set-2, run the
+dense grid accumulation per shard, and merge the per-shard [R1, R2]
+partial matrices with a psum over ICI — the collective analogue of the
+reference's mutex-guarded matrix merge (overlap.cc:512-527).
+
+Worklists are built per shard on host (each shard sees its own row
+lengths) and padded to a common length with dummy all-padding tiles so
+the SPMD program has identical shape on every device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.db import SeqDB
+from ..ops.engine import (
+    MatchSpec,
+    PackedSet,
+    TILE_M,
+    TILE_N,
+    _round_up,
+    build_worklist,
+    dense_tile_contrib,
+    pack_set,
+)
+
+
+def _shard_packed(a: PackedSet, n_shards: int, tile_m: int):
+    """Split a packed (length-sorted) set into n_shards row chunks of
+    identical padded size; returns stacked [n_shards, chunk, ...]
+    arrays plus per-shard real row counts."""
+    n = a.n
+    per = -(-n // n_shards) if n else 0
+    chunk = _round_up(per, tile_m) + tile_m  # + one all-pad dummy tile
+
+    def stack(x: np.ndarray, pad_value) -> np.ndarray:
+        shape = (n_shards, chunk) + x.shape[1:]
+        out = np.full(shape, pad_value, dtype=x.dtype)
+        for k in range(n_shards):
+            lo = min(k * per, n)
+            hi = min(lo + per, n)
+            if hi > lo:
+                out[k, : hi - lo] = x[lo:hi]
+        return out
+
+    pad_seq = a.seqs[-1, 0]  # pad rows are all pad_value
+    stacked = dict(
+        seqs=stack(a.seqs[:n], pad_seq),
+        rseqs=stack(a.rseqs[:n], pad_seq),
+        lengths=stack(a.lengths[:n], a.lengths[-1]),
+        v=stack(a.v[:n], -1),
+        j=stack(a.j[:n], -1),
+        rep=stack(a.rep[:n], -1),
+        counts=stack(a.counts[:n], 0.0),
+        key=stack(a.key[:n], a.key[-1]),
+    )
+    bounds = [
+        (min(k * per, n), min(min(k * per, n) + per, n))
+        for k in range(n_shards)
+    ]
+    return stacked, chunk, bounds
+
+
+def _shard_worklists(
+    stacked_keys: np.ndarray,
+    bounds,
+    b: PackedSet,
+    spec: MatchSpec,
+    tile_m: int,
+    tile_n: int,
+    chunk: int,
+):
+    """Per-shard tile worklists (local row starts), padded to a common
+    length with dummy tiles aimed at each shard's pad rows."""
+    from ..ops.engine import worklist_from_keys
+
+    n_shards = stacked_keys.shape[0]
+    delta = 1 if (spec.indels and spec.differences == 1) else 0
+    lists = []
+    for k in range(n_shards):
+        lo, hi = bounds[k]
+        wl = worklist_from_keys(
+            stacked_keys[k], hi - lo, b.key, b.n, delta, tile_m, tile_n
+        )
+        lists.append([tuple(t) for t in wl])
+    wmax = max(max((len(t) for t in lists), default=0), 1)
+    work = np.zeros((n_shards, wmax, 2), dtype=np.int32)
+    work[:, :, 0] = chunk - tile_m  # dummy: shard's all-pad tile
+    work[:, :, 1] = b.np_ - tile_n
+    for k, tiles in enumerate(lists):
+        if tiles:
+            work[k, : len(tiles)] = np.asarray(tiles, dtype=np.int32)
+    return work
+
+
+def dense_matrix_sharded(
+    db1: SeqDB,
+    db2: SeqDB,
+    spec: MatchSpec,
+    score_int: int,
+    ignore_counts: bool,
+    devices: Optional[Sequence] = None,
+    tile_m: int = TILE_M,
+    tile_n: int = TILE_N,
+) -> np.ndarray:
+    """[R1, R2] overlap matrix computed SPMD over a 1-D device mesh."""
+    devices = list(devices if devices is not None else jax.devices())
+    n_shards = len(devices)
+    mesh = Mesh(np.asarray(devices), ("shard",))
+
+    lmax = int(max(db1.longest, db2.longest, 1))
+    by_vjl = not spec.ignore_genes
+    a = pack_set(db1, lmax, tile_m, by_vjl)
+    b = (
+        a
+        if db2 is db1 and tile_m == tile_n
+        else pack_set(db2, lmax, tile_n, by_vjl)
+    )
+
+    stacked, chunk, bounds = _shard_packed(a, n_shards, tile_m)
+    work = _shard_worklists(
+        stacked["key"], bounds, b, spec, tile_m, tile_n, chunk
+    )
+
+    r1p = _round_up(max(db1.repertoire_count, 1), 8)
+    r2p = _round_up(max(db2.repertoire_count, 1), 128)
+    mxu = jax.default_backend() != "cpu"
+    spec_kw = dict(
+        differences=spec.differences,
+        indels=spec.indels and spec.differences == 1,
+        ignore_genes=spec.ignore_genes,
+    )
+
+    def per_shard(a_stack, b_args, starts):
+        # shard_map blocks keep the leading (sharded) axis of size 1
+        a_args = tuple(x[0] for x in a_stack)
+        starts = starts[0]
+
+        def step(acc, st):
+            contrib = dense_tile_contrib(
+                a_args, b_args, st[0], st[1],
+                spec_kw=spec_kw, score_int=score_int,
+                ignore_counts=ignore_counts, r1p=r1p, r2p=r2p,
+                tile_m=tile_m, tile_n=tile_n, mxu=mxu,
+            )
+            return acc + contrib, None
+
+        # mark the carry as device-varying so the scan carry type is
+        # stable under shard_map's varying-manual-axes tracking
+        acc0 = lax.pvary(jnp.zeros((r1p, r2p), dtype=jnp.float32), "shard")
+        acc, _ = lax.scan(step, acc0, (starts[:, 0], starts[:, 1]))
+        return lax.psum(acc, "shard")
+
+    a_stack = (
+        jnp.asarray(stacked["seqs"]),
+        jnp.asarray(stacked["rseqs"]),
+        jnp.asarray(stacked["lengths"]),
+        jnp.asarray(stacked["v"]),
+        jnp.asarray(stacked["j"]),
+        jnp.asarray(stacked["rep"]),
+        jnp.asarray(stacked["counts"]),
+    )
+    b_args = (
+        jnp.asarray(b.seqs), jnp.asarray(b.rseqs), jnp.asarray(b.lengths),
+        jnp.asarray(b.v), jnp.asarray(b.j), jnp.asarray(b.rep),
+        jnp.asarray(b.counts),
+    )
+
+    shard_spec = tuple(P("shard") for _ in a_stack)
+    rep_spec = tuple(P() for _ in b_args)
+    fn = jax.jit(
+        jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(shard_spec, rep_spec, P("shard")),
+            out_specs=P(),
+        )
+    )
+    acc = np.asarray(fn(a_stack, b_args, jnp.asarray(work)))
+    return acc[: db1.repertoire_count, : db2.repertoire_count].astype(
+        np.float64
+    )

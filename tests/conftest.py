@@ -8,6 +8,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # the axon TPU plugin registers itself whenever PALLAS_AXON_POOL_IPS is
 # set and overrides platform selection; clear it for CPU-only tests
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
+# a TPU plugin may already have imported jax.config with
+# JAX_PLATFORMS=axon cached (sitecustomize); force CPU explicitly
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
