@@ -73,7 +73,7 @@ def main():
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
     n = int(os.environ.get("COMPAIRR_BENCH_N", 200_000 if on_tpu else 8_192))
-    tile = int(os.environ.get("COMPAIRR_BENCH_TILE", 1024 if on_tpu else 256))
+    tile = int(os.environ.get("COMPAIRR_BENCH_TILE", 256))
 
     d1 = synth_arrays(n, n_reps=60, n_v=48, n_j=13, seed=1)
     d2 = synth_arrays(n, n_reps=60, n_v=48, n_j=13, seed=2)

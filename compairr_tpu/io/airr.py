@@ -154,7 +154,31 @@ def read_db(
     require_sequence_id: bool,
     default_repertoire_id: str,
 ) -> SeqDB:
-    """Read one AIRR TSV file into a SeqDB (db.cc:708-901)."""
+    """Read one AIRR TSV file into a SeqDB (db.cc:708-901).
+
+    Uses the native C++ parser (native/libairr_parser.so) when built
+    and the input is a regular file; falls back to the pure-Python
+    streaming parser otherwise. Both are semantics-identical.
+    """
+    if (
+        filename
+        and filename != "-"
+        and os.path.isfile(filename)
+        and os.environ.get("COMPAIRR_NATIVE_IO", "1") != "0"
+    ):
+        from .native import load_library
+
+        lib = load_library()
+        if lib is not None:
+            return _read_db_native(
+                lib,
+                filename,
+                opt,
+                genes,
+                logger,
+                require_sequence_id,
+                default_repertoire_id,
+            )
 
     if filename is None or filename == "-":
         fp: IO[bytes] = sys.stdin.buffer
@@ -448,17 +472,11 @@ def read_db(
     # pack into fixed-width tensors ("Indexing" phase, db.cc:891-900)
     logger.progress_init("Indexing:         ", n)
     lmax = longest if n else 0
-    seqs = np.full((n, lmax), pad, dtype=np.int8)
+    flat = np.frombuffer(b"".join(seq_buffers), dtype=np.int8)
+    seqs = _pack_residues(
+        flat, np.asarray(lengths, dtype=np.int32), lmax, pad
+    )
     if n:
-        flat = np.frombuffer(b"".join(seq_buffers), dtype=np.int8)
-        lens = np.asarray(lengths, dtype=np.int64)
-        starts = np.concatenate(
-            [np.zeros(1, dtype=np.int64), np.cumsum(lens[:-1], dtype=np.int64)]
-        )
-        # scatter each row: vectorised ragged-to-padded copy
-        row_idx = np.repeat(np.arange(n), lens)
-        col_idx = np.arange(len(flat)) - np.repeat(starts, lens)
-        seqs[row_idx, col_idx] = flat
         logger.progress_update(n)
     logger.progress_done()
 
@@ -480,4 +498,280 @@ def read_db(
         total_dup_count=total_dup,
         shortest=shortest if n else 0,
         longest=longest,
+    )
+
+
+def _log_read_summary(
+    logger: Logger,
+    n: int,
+    n_reps: int,
+    residues: int,
+    shortest: int,
+    longest: int,
+    total_dup: int,
+    ignored_unknown: int,
+    ignored_empty: int,
+) -> None:
+    if ignored_unknown > 0:
+        logger.write(
+            f"{ignored_unknown} sequences with unknown symbols ignored.\n"
+        )
+    if ignored_empty > 0:
+        logger.write(f"{ignored_empty} empty sequences ignored.\n")
+    if n > 0:
+        logger.write(
+            "Repertoires:       %d\n"
+            "Sequences:         %d\n"
+            "Residues:          %d\n"
+            "Shortest:          %d\n"
+            "Longest:           %d\n"
+            "Average length:    %.1f\n"
+            "Total dupl. count: %d\n"
+            % (n_reps, n, residues, shortest, longest,
+               1.0 * residues / n, total_dup)
+        )
+    else:
+        logger.write(
+            "Repertoires:       %d\n"
+            "Sequences:         %d\n"
+            "Residues:          %d\n"
+            "Shortest:          -\n"
+            "Longest:           -\n"
+            "Average length:    -\n"
+            "Total dupl. count: %d\n"
+            % (n_reps, n, residues, total_dup)
+        )
+
+
+def _pack_residues(
+    flat: np.ndarray, lens: np.ndarray, lmax: int, pad: int
+) -> np.ndarray:
+    """Ragged-to-padded residue packing (the "Indexing" phase,
+    db.cc:891-900). A flat boolean-mask scatter: orders of magnitude
+    faster than 2-D fancy indexing in numpy."""
+    n = len(lens)
+    seqs = np.full((n, lmax), pad, dtype=np.int8)
+    if n:
+        mask = np.arange(lmax)[None, :] < lens[:, None]
+        seqs.reshape(-1)[mask.reshape(-1)] = flat
+    return seqs
+
+
+# error kinds of the native parser (native/airr_parser.cpp)
+_ERR_OPEN = 1
+_ERR_MISSING_COLUMNS = 2
+_ERR_ILLEGAL_CHAR = 3
+_ERR_ILLEGAL_CHAR_NONPRINT = 4
+_ERR_EMPTY_SEQ = 5
+_ERR_MISSING_SEQUENCE_ID = 6
+_ERR_BAD_DUP_COUNT = 7
+_ERR_MISSING_DUP_COUNT = 8
+_ERR_MISSING_V = 9
+_ERR_MISSING_J = 10
+_ERR_MISSING_SEQ_VALUE = 11
+_ERR_READ = 12
+
+
+def _native_error(res, opt: Options, filename: str, logger: Logger) -> None:
+    """Render a native-parser error with the exact reference message."""
+    st = res.status
+    ln = res.err_lineno
+    if st == _ERR_OPEN:
+        _die(
+            logger,
+            f"\nError: Unable to open input data file ({filename}).\n",
+        )
+    if st == _ERR_MISSING_COLUMNS:
+        mask = res.missing_cols
+        names = []
+        if mask & 1:
+            names.append("sequence_id")
+        if mask & 2:
+            names.append("duplicate_count")
+        if mask & 4:
+            names.append("v_call")
+        if mask & 8:
+            names.append("j_call")
+        if mask & 16:
+            names.append(opt.seq_header)
+        _die(
+            logger,
+            "\nMissing essential column(s) in header of AIRR TSV input "
+            "file:" + "".join(" " + m for m in names) + "\n",
+        )
+    if st == _ERR_ILLEGAL_CHAR:
+        _die(
+            logger,
+            f"\n\nError: Illegal character '{chr(res.err_char)}' in "
+            f"sequence on line {ln}. Use -u to ignore.\n",
+        )
+    if st == _ERR_ILLEGAL_CHAR_NONPRINT:
+        _die(
+            logger,
+            f"\n\nError: Illegal character (ascii no {res.err_char}) in "
+            f"sequence on line {ln}\n",
+        )
+    if st == _ERR_EMPTY_SEQ:
+        _die(
+            logger,
+            f"\n\nError: Empty sequence in sequence on line {ln}. "
+            "Use -e to ignore.\n",
+        )
+    if st == _ERR_MISSING_SEQUENCE_ID:
+        _die(
+            logger,
+            f"\n\nError: missing or empty sequence_id value on line {ln}\n",
+        )
+    if st == _ERR_BAD_DUP_COUNT:
+        _die(
+            logger,
+            f"\n\nError: Illegal duplicate_count on line {ln}: "
+            f"{res.err_detail}\n",
+        )
+    if st == _ERR_MISSING_DUP_COUNT:
+        _die(
+            logger,
+            f"\n\nError: missing or empty duplicate_count on line {ln}\n",
+        )
+    if st == _ERR_MISSING_V:
+        _die(
+            logger,
+            f"\n\nError: missing or empty v_call value on line {ln}\n",
+        )
+    if st == _ERR_MISSING_J:
+        _die(
+            logger,
+            f"\n\nError: missing or empty j_call value on line {ln}\n",
+        )
+    if st == _ERR_MISSING_SEQ_VALUE:
+        _die(
+            logger,
+            f"\n\nError: missing or empty {opt.seq_header} value on "
+            f"line {ln}\n",
+        )
+    if st == _ERR_READ:
+        fatal("Unable to read from the input file")
+    raise AssertionError(f"unknown native parser status {st}")
+
+
+def _read_db_native(
+    lib,
+    filename: str,
+    opt: Options,
+    genes: GeneTables,
+    logger: Logger,
+    require_sequence_id: bool,
+    default_repertoire_id: str,
+) -> SeqDB:
+    from .native import NativeSession
+
+    # one C++ session per GeneTables: V/J interning is shared across
+    # both input files (db.cc:119-125)
+    session = getattr(genes, "_native_session", None)
+    if session is None:
+        session = NativeSession(lib)
+        genes._native_session = session
+
+    filesize = os.path.getsize(filename)
+    logger.progress_init("Reading sequences:", filesize)
+    res = session.parse(
+        filename,
+        nucleotides=opt.nucleotides,
+        cdr3=opt.cdr3,
+        ignore_counts=opt.ignore_counts,
+        ignore_genes=opt.ignore_genes,
+        ignore_unknown=opt.ignore_unknown,
+        ignore_empty=opt.ignore_empty,
+        require_sequence_id=require_sequence_id,
+        default_repertoire_id=default_repertoire_id,
+        keep_names=opt.keep_columns_names,
+    )
+    if res.status != 0:
+        _native_error(res, opt, filename, logger)
+    logger.progress_update(filesize)
+
+    data = res.arrays()
+    n = data["n"]
+
+    # keep-column warning (db.cc:283-295)
+    if opt.keep_columns_names and data["keep_missing"].any():
+        logger.write("\nWarning: missing column(s) to keep in header:")
+        for k, name in enumerate(opt.keep_columns_names):
+            if data["keep_missing"][k]:
+                logger.write(" " + name)
+        logger.write("\n")
+
+    logger.progress_done()
+
+    # remap session gene numbering into the shared GeneTables (robust
+    # even if a Python-path parse populated the tables first)
+    v_names, j_names = res.gene_names()
+    v_remap = np.asarray(
+        [genes.intern_v(name) for name in v_names], dtype=np.int32
+    )
+    j_remap = np.asarray(
+        [genes.intern_j(name) for name in j_names], dtype=np.int32
+    )
+    if n:
+        data["v_no"] = v_remap[data["v_no"]]
+        data["j_no"] = j_remap[data["j_no"]]
+
+    residues_count = int(data["lengths"].sum())
+    _log_read_summary(
+        logger,
+        n,
+        len(data["repertoires"]),
+        residues_count,
+        data["shortest"],
+        data["longest"],
+        data["total_dup"],
+        data["ignored_unknown"],
+        data["ignored_empty"],
+    )
+
+    logger.progress_init("Indexing:         ", n)
+    pad = 4 if opt.nucleotides else 20
+    lmax = data["longest"] if n else 0
+    seqs = _pack_residues(data["residues"], data["lengths"], lmax, pad)
+    if n:
+        logger.progress_update(n)
+    logger.progress_done()
+
+    sid_off = data["sid_off"]
+    sid_blob = data["sid_blob"]
+    has_sid = data["has_sid"]
+    sequence_ids = [
+        sid_blob[sid_off[i]:sid_off[i + 1]].decode("latin-1")
+        if has_sid[i]
+        else None
+        for i in range(n)
+    ]
+    if opt.keep_columns_names:
+        keep_off = data["keep_off"]
+        keep_blob = data["keep_blob"]
+        keeps = [
+            keep_blob[keep_off[i]:keep_off[i + 1]].decode("latin-1")
+            for i in range(n)
+        ]
+    else:
+        keeps = [None] * n
+
+    return SeqDB(
+        nucleotides=opt.nucleotides,
+        seqs=seqs,
+        lengths=data["lengths"],
+        counts=data["counts"],
+        rep_no=data["rep_no"],
+        v_no=data["v_no"],
+        j_no=data["j_no"],
+        sequence_ids=sequence_ids,
+        keep=keeps,
+        repertoire_ids=data["repertoires"],
+        genes=genes,
+        ignored_unknown=data["ignored_unknown"],
+        ignored_empty=data["ignored_empty"],
+        residues_count=residues_count,
+        total_dup_count=data["total_dup"],
+        shortest=data["shortest"],
+        longest=data["longest"],
     )

@@ -1,0 +1,275 @@
+"""ctypes bindings for the native AIRR TSV parser.
+
+Loads native/libairr_parser.so when present (build with
+`make -C native`); io/airr.py transparently falls back to the pure
+Python parser otherwise. Both produce identical SeqDBs — see
+tests/test_native_parser.py.
+"""
+
+from __future__ import annotations
+
+import ctypes as ct
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(root, "native", "libairr_parser.so")
+
+
+def load_library():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _lib_path()
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ct.CDLL(path)
+    except OSError:
+        return None
+
+    lib.airr_session_new.restype = ct.c_void_p
+    lib.airr_session_free.argtypes = [ct.c_void_p]
+    lib.airr_parse.restype = ct.c_void_p
+    lib.airr_parse.argtypes = [
+        ct.c_void_p,
+        ct.c_char_p,
+        ct.c_int,
+        ct.c_int,
+        ct.c_int,
+        ct.c_int,
+        ct.c_int,
+        ct.c_int,
+        ct.c_int,
+        ct.c_char_p,
+        ct.POINTER(ct.c_char_p),
+        ct.c_int,
+    ]
+    for name, restype in [
+        ("airr_status", ct.c_int32),
+        ("airr_err_lineno", ct.c_int64),
+        ("airr_err_char", ct.c_int32),
+        ("airr_missing_cols", ct.c_int32),
+        ("airr_n", ct.c_int64),
+        ("airr_residues_size", ct.c_int64),
+        ("airr_ignored_unknown", ct.c_int64),
+        ("airr_ignored_empty", ct.c_int64),
+        ("airr_total_dup", ct.c_int64),
+        ("airr_shortest", ct.c_int32),
+        ("airr_longest", ct.c_int32),
+        ("airr_rep_count", ct.c_int32),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = restype
+        fn.argtypes = [ct.c_void_p]
+    for name in [
+        "airr_err_detail",
+        "airr_residues",
+        "airr_sequence_id_blob",
+        "airr_keep_blob",
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = ct.c_void_p
+        fn.argtypes = [ct.c_void_p]
+    for name in [
+        "airr_lengths",
+        "airr_rep_no",
+        "airr_v_no",
+        "airr_j_no",
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = ct.POINTER(ct.c_int32)
+        fn.argtypes = [ct.c_void_p]
+    for name in [
+        "airr_counts",
+        "airr_sequence_id_offsets",
+        "airr_keep_offsets",
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = ct.POINTER(ct.c_int64)
+        fn.argtypes = [ct.c_void_p]
+    for name in ["airr_has_sequence_id", "airr_keep_missing"]:
+        fn = getattr(lib, name)
+        fn.restype = ct.POINTER(ct.c_uint8)
+        fn.argtypes = [ct.c_void_p]
+    lib.airr_rep_name.restype = ct.c_char_p
+    lib.airr_rep_name.argtypes = [ct.c_void_p, ct.c_int32]
+    for name in ["airr_v_count", "airr_j_count"]:
+        fn = getattr(lib, name)
+        fn.restype = ct.c_int32
+        fn.argtypes = [ct.c_void_p]
+    for name in ["airr_v_name", "airr_j_name"]:
+        fn = getattr(lib, name)
+        fn.restype = ct.c_char_p
+        fn.argtypes = [ct.c_void_p, ct.c_int32]
+    lib.airr_result_free.argtypes = [ct.c_void_p]
+
+    _LIB = lib
+    return lib
+
+
+def _np_from(ptr, count, dtype):
+    if count == 0:
+        return np.zeros(0, dtype=dtype)
+    buf = ct.cast(
+        ptr, ct.POINTER(ct.c_char * (count * np.dtype(dtype).itemsize))
+    ).contents
+    return np.frombuffer(buf, dtype=dtype).copy()
+
+
+class NativeSession:
+    """Wraps the C++ session holding the shared V/J gene interning."""
+
+    def __init__(self, lib):
+        self.lib = lib
+        self.handle = lib.airr_session_new()
+
+    def __del__(self):
+        if getattr(self, "handle", None):
+            self.lib.airr_session_free(self.handle)
+            self.handle = None
+
+    def parse(
+        self,
+        filename: str,
+        *,
+        nucleotides: bool,
+        cdr3: bool,
+        ignore_counts: bool,
+        ignore_genes: bool,
+        ignore_unknown: bool,
+        ignore_empty: bool,
+        require_sequence_id: bool,
+        default_repertoire_id: str,
+        keep_names: tuple,
+    ):
+        lib = self.lib
+        n_keep = len(keep_names)
+        keep_arr = (ct.c_char_p * max(n_keep, 1))()
+        for i, name in enumerate(keep_names):
+            keep_arr[i] = name.encode("latin-1")
+        handle = lib.airr_parse(
+            self.handle,
+            filename.encode(),
+            int(nucleotides),
+            int(cdr3),
+            int(ignore_counts),
+            int(ignore_genes),
+            int(ignore_unknown),
+            int(ignore_empty),
+            int(require_sequence_id),
+            default_repertoire_id.encode("latin-1"),
+            keep_arr,
+            n_keep,
+        )
+        return NativeResult(lib, handle, self, n_keep)
+
+
+class NativeResult:
+    def __init__(self, lib, handle, session, n_keep):
+        self.lib = lib
+        self.handle = handle
+        self.session = session
+        self.n_keep = n_keep
+
+    def __del__(self):
+        if getattr(self, "handle", None):
+            self.lib.airr_result_free(self.handle)
+            self.handle = None
+
+    @property
+    def status(self) -> int:
+        return self.lib.airr_status(self.handle)
+
+    @property
+    def err_lineno(self) -> int:
+        return self.lib.airr_err_lineno(self.handle)
+
+    @property
+    def err_char(self) -> int:
+        return self.lib.airr_err_char(self.handle)
+
+    @property
+    def err_detail(self) -> str:
+        p = self.lib.airr_err_detail(self.handle)
+        return ct.cast(p, ct.c_char_p).value.decode("latin-1")
+
+    @property
+    def missing_cols(self) -> int:
+        return self.lib.airr_missing_cols(self.handle)
+
+    def arrays(self):
+        lib, h = self.lib, self.handle
+        n = lib.airr_n(h)
+        res_size = lib.airr_residues_size(h)
+        residues = _np_from(lib.airr_residues(h), res_size, np.int8)
+        lengths = _np_from(lib.airr_lengths(h), n, np.int32)
+        counts = _np_from(lib.airr_counts(h), n, np.int64)
+        rep_no = _np_from(lib.airr_rep_no(h), n, np.int32)
+        v_no = _np_from(lib.airr_v_no(h), n, np.int32)
+        j_no = _np_from(lib.airr_j_no(h), n, np.int32)
+        has_sid = _np_from(lib.airr_has_sequence_id(h), n, np.uint8)
+        sid_off = _np_from(lib.airr_sequence_id_offsets(h), n + 1, np.int64)
+        sid_blob = _np_from(
+            lib.airr_sequence_id_blob(h), int(sid_off[-1]) if n else 0,
+            np.uint8,
+        ).tobytes()
+        if self.n_keep:
+            keep_off = _np_from(lib.airr_keep_offsets(h), n + 1, np.int64)
+            keep_blob = _np_from(
+                lib.airr_keep_blob(h), int(keep_off[-1]) if n else 0,
+                np.uint8,
+            ).tobytes()
+            keep_missing = _np_from(
+                lib.airr_keep_missing(h), self.n_keep, np.uint8
+            )
+        else:
+            keep_off, keep_blob, keep_missing = None, b"", np.zeros(0)
+        reps = [
+            lib.airr_rep_name(h, i).decode("latin-1")
+            for i in range(lib.airr_rep_count(h))
+        ]
+        return dict(
+            n=int(n),
+            residues=residues,
+            lengths=lengths,
+            counts=counts,
+            rep_no=rep_no,
+            v_no=v_no,
+            j_no=j_no,
+            has_sid=has_sid,
+            sid_off=sid_off,
+            sid_blob=sid_blob,
+            keep_off=keep_off,
+            keep_blob=keep_blob,
+            keep_missing=keep_missing,
+            repertoires=reps,
+            ignored_unknown=int(lib.airr_ignored_unknown(h)),
+            ignored_empty=int(lib.airr_ignored_empty(h)),
+            total_dup=int(lib.airr_total_dup(h)),
+            shortest=int(lib.airr_shortest(h)),
+            longest=int(lib.airr_longest(h)),
+        )
+
+    def gene_names(self):
+        lib = self.lib
+        s = self.session.handle
+        v = [
+            lib.airr_v_name(s, i).decode("latin-1")
+            for i in range(lib.airr_v_count(s))
+        ]
+        j = [
+            lib.airr_j_name(s, i).decode("latin-1")
+            for i in range(lib.airr_j_count(s))
+        ]
+        return v, j

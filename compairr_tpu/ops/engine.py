@@ -436,6 +436,7 @@ def dense_matrix(
     progress_prompt: Optional[str] = None,
     tile_m: int = TILE_M,
     tile_n: int = TILE_N,
+    engine: str = "auto",
 ) -> np.ndarray:
     """Dense path: accumulate the [R1, R2] overlap matrix on device.
 
@@ -443,9 +444,15 @@ def dense_matrix(
     while per-cell partial sums stay below 2^24), float64 on return.
     The sparse path (find_pairs + host f64) is the byte-exact reference
     path; this one is for bulk throughput.
+
+    engine: "pallas" (TPU kernel), "xla" (scan of fused tiles, any
+    backend), or "auto" (pallas on TPU, xla elsewhere).
     """
+    on_tpu = jax.default_backend() != "cpu"
+    use_pallas = engine == "pallas" or (engine == "auto" and on_tpu)
     lmax = int(max(db1.longest, db2.longest, 1))
-    mxu = jax.default_backend() != "cpu"
+    if use_pallas:
+        lmax = _round_up(lmax, 8)
     by_vjl = not spec.ignore_genes
     a = pack_set(db1, lmax, tile_m, by_vjl)
     b = (
@@ -462,9 +469,32 @@ def dense_matrix(
 
     if len(work) == 0:
         acc = np.zeros((r1p, r2p), dtype=np.float32)
+    elif use_pallas:
+        from .pallas_kernels import dense_matrix_pallas, device_args_pallas
+
+        da = device_args_pallas(a, lmax)
+        db = da if b is a else device_args_pallas(b, lmax)
+        acc = np.asarray(
+            dense_matrix_pallas(
+                da["a"],
+                db["b"],
+                work,
+                differences=spec.differences,
+                indels=spec.indels and spec.differences == 1,
+                ignore_genes=spec.ignore_genes,
+                score_int=score_int,
+                ignore_counts=ignore_counts,
+                tile_m=tile_m,
+                tile_n=tile_n,
+                r1p=r1p,
+                r2p=r2p,
+                interpret=not on_tpu,
+            )
+        )
     else:
         fn = _dense_fn(
-            spec, score_int, ignore_counts, tile_m, tile_n, r1p, r2p, mxu
+            spec, score_int, ignore_counts, tile_m, tile_n, r1p, r2p,
+            on_tpu,
         )
         acc = np.asarray(
             fn(_device_args(a), _device_args(b), jnp.asarray(work))

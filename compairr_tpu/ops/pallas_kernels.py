@@ -1,0 +1,367 @@
+"""Pallas TPU kernels for the matching grid.
+
+The XLA scan path (ops/engine.py) dispatches one fused computation per
+worklist tile inside a lax.scan; Pallas removes the per-iteration
+overhead, pipelines the HBM->VMEM tile fetches (double buffering via
+BlockSpec index maps), and keeps the one-hot construction, the int8 MXU
+matmul, the masks, and the score reduction entirely in VMEM.
+
+Grid = one program per worklist tile, driven by scalar-prefetched
+(row_block, col_block) arrays — the block-sparse pattern. All programs
+accumulate into the single [R1p, R2p] output block, which Pallas keeps
+resident in VMEM across the whole grid (the classic reduction layout).
+
+Layout choices: set-2 per-sequence scalars (length, V, J, repertoire,
+count) are stored as [1, N] rows and the set-2 residues additionally as
+a transposed [lpad, N] matrix, so every in-kernel broadcast is a native
+[TM, 1] x [1, TN] op — no sublane/lane transposes inside the kernel.
+
+Distance semantics identical to ops/engine.py:
+  * equal lengths: Hamming = padded_width - one-hot matches
+    (pad residue matches itself)
+  * |len diff| == 1 with indels at d=1: match iff common_prefix +
+    common_suffix >= min(len) (the reference's one-indel criterion,
+    /root/reference/src/variants.cc:197-216)
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NCLASS = 32  # one-hot channels (alphabet 20/4 + pad, padded for tiling)
+
+
+def _onehot(seq_i8, nclass: int):
+    """[T, L] int8 residues -> [T, nclass*L] int8 one-hot, built with
+    2-D ops only. pltpu.repeat tiles whole copies, so feature
+    (c, l) lives at lane c*L + l and the class index is lane // L; the
+    ordering is irrelevant to the matmul as long as both operands use
+    the same one."""
+    t, l = seq_i8.shape
+    rep = pltpu.repeat(seq_i8, nclass, axis=1)  # [T, nclass*L] tiled
+    cls = lax.broadcasted_iota(jnp.int32, (t, l * nclass), 1) // l
+    return (rep.astype(jnp.int32) == cls).astype(jnp.int8)
+
+
+def _score_tile(ca, cb, score_int: int, ignore_counts: bool):
+    """Per-pair score g(count_a, count_b); ca is [TM, 1], cb [1, TN]
+    (compute_score, /root/reference/src/overlap.cc:144-166)."""
+    from ..constants import (
+        SCORE_JACCARD,
+        SCORE_MAX,
+        SCORE_MEAN,
+        SCORE_MH,
+        SCORE_MIN,
+        SCORE_PRODUCT,
+        SCORE_RATIO,
+    )
+
+    if ignore_counts:
+        return jnp.ones((ca.shape[0], cb.shape[1]), dtype=jnp.float32)
+    if score_int in (SCORE_MH, SCORE_PRODUCT):
+        return ca * cb
+    if score_int == SCORE_RATIO:
+        return ca / jnp.where(cb == 0, 1.0, cb)
+    if score_int in (SCORE_JACCARD, SCORE_MIN):
+        return jnp.minimum(ca + jnp.zeros_like(cb), cb)
+    if score_int == SCORE_MAX:
+        return jnp.maximum(ca + jnp.zeros_like(cb), cb)
+    return (ca + cb) * 0.5
+
+
+def _make_kernel(
+    *,
+    differences: int,
+    indels: bool,
+    ignore_genes: bool,
+    score_int: int,
+    ignore_counts: bool,
+    lpad: int,
+    tile_m: int,
+    tile_n: int,
+    r1p: int,
+    r2p: int,
+):
+    def kernel(
+        rows_ref,
+        cols_ref,
+        a_seq,
+        a_rseq,
+        a_len,
+        a_v,
+        a_j,
+        a_rep,
+        a_cnt,
+        b_seq,
+        b_seqT,
+        b_rseqT,
+        b_len,
+        b_v,
+        b_j,
+        b_rep,
+        b_cnt,
+        out_ref,
+    ):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        oh_a = _onehot(a_seq[:], NCLASS)
+        oh_b = _onehot(b_seq[:], NCLASS)
+        matches = lax.dot_general(
+            oh_a,
+            oh_b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        mism = lpad - matches
+
+        la = a_len[:]  # [TM, 1] int32
+        lb = b_len[:]  # [1, TN] int32
+        len_eq = la == lb
+        valid = (la > 0) & (lb > 0)
+        match = len_eq & (mism <= differences)
+
+        if indels:
+            pref_alive = jnp.ones((tile_m, tile_n), dtype=jnp.int32)
+            suf_alive = jnp.ones((tile_m, tile_n), dtype=jnp.int32)
+            pref = jnp.zeros((tile_m, tile_n), dtype=jnp.int32)
+            suf = jnp.zeros((tile_m, tile_n), dtype=jnp.int32)
+            for p in range(lpad):
+                eq_f = (
+                    a_seq[:, p : p + 1].astype(jnp.int32)
+                    == b_seqT[p : p + 1, :].astype(jnp.int32)
+                ).astype(jnp.int32)
+                pref_alive = pref_alive * eq_f
+                pref = pref + pref_alive
+                eq_b = (
+                    a_rseq[:, p : p + 1].astype(jnp.int32)
+                    == b_rseqT[p : p + 1, :].astype(jnp.int32)
+                ).astype(jnp.int32)
+                suf_alive = suf_alive * eq_b
+                suf = suf + suf_alive
+            minlen = jnp.minimum(la + jnp.zeros_like(lb), lb)
+            len_pm1 = jnp.abs(la - lb) == 1
+            match = match | (len_pm1 & (pref + suf >= minlen))
+
+        if not ignore_genes:
+            match = match & (a_v[:] == b_v[:]) & (a_j[:] == b_j[:])
+        match = match & valid
+
+        g = _score_tile(a_cnt[:], b_cnt[:], score_int, ignore_counts)
+        sc = jnp.where(match, g, 0.0)
+
+        oh1 = (
+            a_rep[:] == lax.broadcasted_iota(jnp.int32, (tile_m, r1p), 1)
+        ).astype(jnp.float32)
+        # oh2 transposed ([r2p, TN]) so it builds from the [1, TN]
+        # repertoire row without any lane->sublane transpose
+        oh2t = (
+            b_rep[:] == lax.broadcasted_iota(jnp.int32, (r2p, tile_n), 0)
+        ).astype(jnp.float32)
+        part = lax.dot_general(
+            oh1,
+            sc,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[:] += lax.dot_general(
+            part,
+            oh2t,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return kernel
+
+
+@lru_cache(maxsize=None)
+def _dense_pallas_fn(
+    differences: int,
+    indels: bool,
+    ignore_genes: bool,
+    score_int: int,
+    ignore_counts: bool,
+    lpad: int,
+    tile_m: int,
+    tile_n: int,
+    r1p: int,
+    r2p: int,
+    n_tiles: int,
+    interpret: bool = False,
+):
+    kernel = _make_kernel(
+        differences=differences,
+        indels=indels,
+        ignore_genes=ignore_genes,
+        score_int=score_int,
+        ignore_counts=ignore_counts,
+        lpad=lpad,
+        tile_m=tile_m,
+        tile_n=tile_n,
+        r1p=r1p,
+        r2p=r2p,
+    )
+
+    def a_spec(width):
+        return pl.BlockSpec(
+            (tile_m, width),
+            index_map=lambda i, rows, cols: (rows[i], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def b_spec(width):
+        return pl.BlockSpec(
+            (tile_n, width),
+            index_map=lambda i, rows, cols: (cols[i], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def bT_spec(height):
+        return pl.BlockSpec(
+            (height, tile_n),
+            index_map=lambda i, rows, cols: (0, cols[i]),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            a_spec(lpad),  # a_seq
+            a_spec(lpad),  # a_rseq
+            a_spec(1),  # a_len
+            a_spec(1),  # a_v
+            a_spec(1),  # a_j
+            a_spec(1),  # a_rep
+            a_spec(1),  # a_cnt
+            b_spec(lpad),  # b_seq
+            bT_spec(lpad),  # b_seqT
+            bT_spec(lpad),  # b_rseqT
+            bT_spec(1),  # b_len
+            bT_spec(1),  # b_v
+            bT_spec(1),  # b_j
+            bT_spec(1),  # b_rep
+            bT_spec(1),  # b_cnt
+        ],
+        out_specs=pl.BlockSpec(
+            (r1p, r2p),
+            index_map=lambda i, rows, cols: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    fn = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r1p, r2p), jnp.float32),
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+def device_args_pallas(p, lpad: int):
+    """Device layouts for the Pallas kernel from a PackedSet: A-side
+    per-row scalars as [Np, 1], B-side as [1, Np] plus transposed
+    residues [lpad, Np]."""
+    n = p.seqs.shape[0]
+    seqs = p.seqs
+    rseqs = p.rseqs
+    if seqs.shape[1] < lpad:
+        pad_val = seqs[-1, 0]
+        grown = np.full((n, lpad), pad_val, dtype=np.int8)
+        grown[:, : seqs.shape[1]] = seqs
+        seqs = grown
+        grown_r = np.full((n, lpad), pad_val, dtype=np.int8)
+        grown_r[:, : rseqs.shape[1]] = rseqs
+        rseqs = grown_r
+    dev = jax.device_put
+    col = lambda x, dt: dev(np.asarray(x, dtype=dt).reshape(n, 1))
+    row = lambda x, dt: dev(np.asarray(x, dtype=dt).reshape(1, n))
+    return {
+        "a": dict(
+            seqs=dev(seqs),
+            rseqs=dev(rseqs),
+            len=col(p.lengths, np.int32),
+            v=col(p.v, np.int32),
+            j=col(p.j, np.int32),
+            rep=col(p.rep, np.int32),
+            cnt=col(p.counts, np.float32),
+        ),
+        "b": dict(
+            seqs=dev(seqs),
+            seqsT=dev(np.ascontiguousarray(seqs.T)),
+            rseqsT=dev(np.ascontiguousarray(rseqs.T)),
+            len=row(p.lengths, np.int32),
+            v=row(p.v, np.int32),
+            j=row(p.j, np.int32),
+            rep=row(p.rep, np.int32),
+            cnt=row(p.counts, np.float32),
+        ),
+    }
+
+
+def dense_matrix_pallas(
+    a_dev: dict,
+    b_dev: dict,
+    work: np.ndarray,
+    *,
+    differences: int,
+    indels: bool,
+    ignore_genes: bool,
+    score_int: int,
+    ignore_counts: bool,
+    tile_m: int,
+    tile_n: int,
+    r1p: int,
+    r2p: int,
+    interpret: bool = False,
+):
+    """Run the dense accumulation over a worklist (element starts,
+    converted to block indices here) with the Pallas kernel."""
+    lpad = a_dev["seqs"].shape[1]
+    rows = (work[:, 0] // tile_m).astype(np.int32)
+    cols = (work[:, 1] // tile_n).astype(np.int32)
+    fn = _dense_pallas_fn(
+        differences,
+        indels,
+        ignore_genes,
+        score_int,
+        ignore_counts,
+        lpad,
+        tile_m,
+        tile_n,
+        r1p,
+        r2p,
+        int(len(rows)),
+        interpret,
+    )
+    return fn(
+        jnp.asarray(rows),
+        jnp.asarray(cols),
+        a_dev["seqs"],
+        a_dev["rseqs"],
+        a_dev["len"],
+        a_dev["v"],
+        a_dev["j"],
+        a_dev["rep"],
+        a_dev["cnt"],
+        b_dev["seqs"],
+        b_dev["seqsT"],
+        b_dev["rseqsT"],
+        b_dev["len"],
+        b_dev["v"],
+        b_dev["j"],
+        b_dev["rep"],
+        b_dev["cnt"],
+    )
