@@ -72,7 +72,7 @@ def main():
 
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
-    n = int(os.environ.get("COMPAIRR_BENCH_N", 200_000 if on_tpu else 8_192))
+    n = int(os.environ.get("COMPAIRR_BENCH_N", 1_000_000 if on_tpu else 8_192))
     tile = int(os.environ.get("COMPAIRR_BENCH_TILE", 256))
 
     d1 = synth_arrays(n, n_reps=60, n_v=48, n_j=13, seed=1)
@@ -93,16 +93,53 @@ def main():
 
     spec = MatchSpec(differences=2, indels=False, ignore_genes=False)
 
-    # warmup (compile)
+    # warmup: page-faults fresh host memory and compiles the kernel
     m = dense_matrix(
         d1, d2, spec, SCORE_PRODUCT, False, tile_m=tile, tile_n=tile
     )
 
+    # steady state: one full query (pack + upload + kernel + download)
     t0 = time.perf_counter()
     m = dense_matrix(
         d1, d2, spec, SCORE_PRODUCT, False, tile_m=tile, tile_n=tile
     )
     wall = time.perf_counter() - t0
+
+    # kernel-only rate (pack/upload amortised away): pack once, run 3x
+    kernel_rate = None
+    if on_tpu:
+        from compairr_tpu.ops.engine import (
+            _round_up,
+            build_worklist,
+            pack_set,
+            pad_worklist,
+        )
+        from compairr_tpu.ops.pallas_kernels import (
+            dense_matrix_pallas,
+            device_args_pallas,
+        )
+
+        lmax = _round_up(max(d1.longest, d2.longest), 8)
+        a = pack_set(d1, lmax, tile, True)
+        b = pack_set(d2, lmax, tile, True)
+        work = pad_worklist(
+            build_worklist(a, b, spec, tile, tile), a, b, tile, tile
+        )
+        da = device_args_pallas(a, lmax)
+        db = device_args_pallas(b, lmax)
+        kw = dict(
+            differences=2, indels=False, ignore_genes=False,
+            score_int=SCORE_PRODUCT, ignore_counts=False,
+            tile_m=tile, tile_n=tile,
+            r1p=_round_up(d1.repertoire_count, 8),
+            r2p=_round_up(d2.repertoire_count, 128),
+        )
+        np.asarray(dense_matrix_pallas(da["a"], db["b"], work, **kw))
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            np.asarray(dense_matrix_pallas(da["a"], db["b"], work, **kw))
+        kernel_rate = float(n) * float(n) / ((time.perf_counter() - t0) / reps)
 
     pairs = float(n) * float(n)
     rate = pairs / wall
@@ -112,6 +149,10 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": rate / BASELINE_PAIRS_PER_SEC,
         "wall_s": wall,
+        "kernel_pairs_per_sec": kernel_rate,
+        "kernel_vs_baseline": (
+            kernel_rate / BASELINE_PAIRS_PER_SEC if kernel_rate else None
+        ),
         "matrix_checksum": float(m.sum()),
     }
     print(json.dumps(result))

@@ -46,6 +46,28 @@ TILE_N = 128
 SLAB = 64  # worklist tiles per device dispatch
 
 
+def _enable_compilation_cache() -> None:
+    """Persist compiled executables across processes (TPU compiles via
+    the tunnel take minutes; the cache makes them one-time)."""
+    import os as _os
+
+    if _os.environ.get("COMPAIRR_NO_COMPILE_CACHE"):
+        return
+    try:
+        cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/compairr_tpu/jax"),
+        )
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
+
+
 @dataclass(frozen=True)
 class MatchSpec:
     differences: int
@@ -78,16 +100,18 @@ _LEN_PAD = -1000000
 
 
 def _reverse_rows(seqs: np.ndarray, lengths: np.ndarray, pad: int) -> np.ndarray:
+    """Per-row reversal within each row's own length. Grouped by
+    length so every group is a plain strided slice copy (2-D gathers
+    are far slower in numpy)."""
     n, lmax = seqs.shape
+    out = np.full((n, lmax), pad, dtype=np.int8)
     if n == 0:
-        return seqs.copy()
-    pos = np.arange(lmax)[None, :]
-    idx = lengths[:, None].astype(np.int64) - 1 - pos
-    out = np.where(
-        idx >= 0,
-        np.take_along_axis(seqs, np.clip(idx, 0, lmax - 1), axis=1),
-        np.int8(pad),
-    ).astype(np.int8)
+        return out
+    for l in np.unique(lengths):
+        if l <= 0:
+            continue
+        m = lengths == l
+        out[m, :l] = seqs[m, l - 1 :: -1]
     return out
 
 
@@ -199,6 +223,22 @@ def build_worklist(
     return worklist_from_keys(
         a.key, a.n, b.key, b.n, delta, tile_m, tile_n
     )
+
+
+def pad_worklist(
+    work: np.ndarray, a: PackedSet, b: PackedSet, tile_m: int, tile_n: int
+) -> np.ndarray:
+    """Pad the worklist to the next power of two with dummy tiles
+    aimed at the all-padding rows (zero contribution), so kernel
+    compilations are reused across dataset sizes."""
+    w = len(work)
+    target = max(64, 1 << (w - 1).bit_length()) if w else 64
+    if w == target:
+        return work
+    dummy = np.array(
+        [[a.np_ - tile_m, b.np_ - tile_n]], dtype=np.int32
+    )
+    return np.concatenate([work, np.repeat(dummy, target - w, axis=0)])
 
 
 # --------------------------------------------------------------------
@@ -478,7 +518,7 @@ def dense_matrix(
             dense_matrix_pallas(
                 da["a"],
                 db["b"],
-                work,
+                pad_worklist(work, a, b, tile_m, tile_n),
                 differences=spec.differences,
                 indels=spec.indels and spec.differences == 1,
                 ignore_genes=spec.ignore_genes,

@@ -270,45 +270,68 @@ def _dense_pallas_fn(
     return jax.jit(fn)
 
 
+@lru_cache(maxsize=None)
+def _derive_fn(pad_val: int):
+    """On-device derivation of kernel layouts from the raw upload:
+    per-row reversal (within each row's own length), transposes, and
+    the [Np,1]/[1,Np] scalar layouts. Keeps host->device traffic to
+    the raw int8 residues plus five scalar vectors per set."""
+
+    @jax.jit
+    def f(seqs, lengths, v, j, rep, cnt):
+        n, l = seqs.shape
+        pos = jnp.arange(l, dtype=jnp.int32)[None, :]
+        idx = jnp.clip(lengths[:, None] - 1 - pos, 0, l - 1)
+        rev = jnp.take_along_axis(seqs, idx, axis=1)
+        rseqs = jnp.where(
+            pos < lengths[:, None], rev, jnp.int8(pad_val)
+        ).astype(jnp.int8)
+        col = lambda x, dt: x.astype(dt).reshape(n, 1)
+        row = lambda x, dt: x.astype(dt).reshape(1, n)
+        a = dict(
+            seqs=seqs,
+            rseqs=rseqs,
+            len=col(lengths, jnp.int32),
+            v=col(v, jnp.int32),
+            j=col(j, jnp.int32),
+            rep=col(rep, jnp.int32),
+            cnt=col(cnt, jnp.float32),
+        )
+        b = dict(
+            seqs=seqs,
+            seqsT=seqs.T,
+            rseqsT=rseqs.T,
+            len=row(lengths, jnp.int32),
+            v=row(v, jnp.int32),
+            j=row(j, jnp.int32),
+            rep=row(rep, jnp.int32),
+            cnt=row(cnt, jnp.float32),
+        )
+        return a, b
+
+    return f
+
+
 def device_args_pallas(p, lpad: int):
-    """Device layouts for the Pallas kernel from a PackedSet: A-side
-    per-row scalars as [Np, 1], B-side as [1, Np] plus transposed
-    residues [lpad, Np]."""
+    """Upload a PackedSet once and derive all kernel layouts on
+    device (see _derive_fn)."""
     n = p.seqs.shape[0]
     seqs = p.seqs
-    rseqs = p.rseqs
+    pad_val = int(seqs[-1, 0])
     if seqs.shape[1] < lpad:
-        pad_val = seqs[-1, 0]
         grown = np.full((n, lpad), pad_val, dtype=np.int8)
         grown[:, : seqs.shape[1]] = seqs
         seqs = grown
-        grown_r = np.full((n, lpad), pad_val, dtype=np.int8)
-        grown_r[:, : rseqs.shape[1]] = rseqs
-        rseqs = grown_r
     dev = jax.device_put
-    col = lambda x, dt: dev(np.asarray(x, dtype=dt).reshape(n, 1))
-    row = lambda x, dt: dev(np.asarray(x, dtype=dt).reshape(1, n))
-    return {
-        "a": dict(
-            seqs=dev(seqs),
-            rseqs=dev(rseqs),
-            len=col(p.lengths, np.int32),
-            v=col(p.v, np.int32),
-            j=col(p.j, np.int32),
-            rep=col(p.rep, np.int32),
-            cnt=col(p.counts, np.float32),
-        ),
-        "b": dict(
-            seqs=dev(seqs),
-            seqsT=dev(np.ascontiguousarray(seqs.T)),
-            rseqsT=dev(np.ascontiguousarray(rseqs.T)),
-            len=row(p.lengths, np.int32),
-            v=row(p.v, np.int32),
-            j=row(p.j, np.int32),
-            rep=row(p.rep, np.int32),
-            cnt=row(p.counts, np.float32),
-        ),
-    }
+    a, b = _derive_fn(pad_val)(
+        dev(seqs),
+        dev(np.ascontiguousarray(p.lengths, dtype=np.int32)),
+        dev(np.ascontiguousarray(p.v, dtype=np.int32)),
+        dev(np.ascontiguousarray(p.j, dtype=np.int32)),
+        dev(np.ascontiguousarray(p.rep, dtype=np.int32)),
+        dev(np.ascontiguousarray(p.counts, dtype=np.float32)),
+    )
+    return {"a": a, "b": b}
 
 
 def dense_matrix_pallas(
