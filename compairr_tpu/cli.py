@@ -478,18 +478,32 @@ def main(argv: Optional[list[str]] = None) -> int:
     args_show(opt, logger)
     logger.write("\n")
 
-    if opt.matrix or opt.existence:
-        from .modes.overlap import overlap
+    import contextlib
+    import os
 
-        overlap(opt, logger, outfile, pairsfile)
-    elif opt.deduplicate:
-        from .modes.dedup import dedup
+    # tracing/profiling (the reference's analogue is `make PROFILE=1`
+    # + gprof, src/Makefile:33-36; here: a JAX profiler trace)
+    profile_dir = os.environ.get("COMPAIRR_PROFILE")
+    if profile_dir:
+        import jax
 
-        dedup(opt, logger, outfile)
+        trace_ctx = jax.profiler.trace(profile_dir)
     else:
-        from .modes.cluster import cluster
+        trace_ctx = contextlib.nullcontext()
 
-        cluster(opt, logger, outfile)
+    with trace_ctx:
+        if opt.matrix or opt.existence:
+            from .modes.overlap import overlap
+
+            overlap(opt, logger, outfile, pairsfile)
+        elif opt.deduplicate:
+            from .modes.dedup import dedup
+
+            dedup(opt, logger, outfile)
+        else:
+            from .modes.cluster import cluster
+
+            cluster(opt, logger, outfile)
 
     logger.show_time("End time:          ")
 

@@ -56,7 +56,12 @@ def _enable_compilation_cache() -> None:
     try:
         cache_dir = _os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
-            _os.path.expanduser("~/.cache/compairr_tpu/jax"),
+            _os.path.join(
+                _os.path.dirname(
+                    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+                ),
+                ".jax_cache",
+            ),
         )
         _os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -1,0 +1,135 @@
+"""Property tests: engine match semantics vs a brute-force oracle.
+
+These run everywhere (no reference binary needed) and pin down the
+kernel semantics: Hamming distance for equal lengths, the
+one-substitution-or-indel criterion for d=1 -i (restricted Levenshtein,
+/root/reference/src/variants.cc:166-240), V/J gene gating, and the
+self-exclusion used by clustering.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from compairr_tpu.core.db import GeneTables, SeqDB
+from compairr_tpu.ops.engine import MatchSpec, find_pairs
+
+
+def make_db(seqs, vs, js, reps=None, counts=None):
+    n = len(seqs)
+    lmax = max((len(s) for s in seqs), default=1)
+    arr = np.full((n, lmax), 20, dtype=np.int8)
+    for i, s in enumerate(seqs):
+        arr[i, : len(s)] = s
+    genes = GeneTables()
+    nv = max(vs) + 1 if vs else 1
+    nj = max(js) + 1 if js else 1
+    for k in range(nv):
+        genes.intern_v(f"V{k}")
+    for k in range(nj):
+        genes.intern_j(f"J{k}")
+    lengths = np.asarray([len(s) for s in seqs], dtype=np.int32)
+    return SeqDB(
+        nucleotides=False,
+        seqs=arr,
+        lengths=lengths,
+        counts=np.asarray(counts if counts else [1] * n, dtype=np.int64),
+        rep_no=np.asarray(reps if reps else [0] * n, dtype=np.int32),
+        v_no=np.asarray(vs, dtype=np.int32),
+        j_no=np.asarray(js, dtype=np.int32),
+        sequence_ids=[f"S{i}" for i in range(n)],
+        keep=[None] * n,
+        repertoire_ids=["R0"],
+        genes=genes,
+        residues_count=int(lengths.sum()),
+        total_dup_count=n,
+        shortest=int(lengths.min()) if n else 0,
+        longest=int(lengths.max()) if n else 0,
+    )
+
+
+def hamming(a, b):
+    return sum(x != y for x, y in zip(a, b))
+
+
+def one_indel(a, b):
+    """True iff b is a with exactly one deletion or insertion."""
+    if len(a) - len(b) == 1:
+        a, b = b, a
+    if len(b) - len(a) != 1:
+        return False
+    # a shorter by 1: prefix + suffix >= len(a)
+    p = 0
+    while p < len(a) and a[p] == b[p]:
+        p += 1
+    s = 0
+    while s < len(a) - 0 and s < len(a) and a[len(a) - 1 - s] == b[len(b) - 1 - s]:
+        s += 1
+    return p + s >= len(a)
+
+
+def oracle_pairs(db1, db2, spec):
+    out = set()
+    for i in range(db1.n):
+        for j in range(db2.n):
+            if spec.exclude_self and i == j:
+                continue
+            if not spec.ignore_genes and (
+                db1.v_no[i] != db2.v_no[j] or db1.j_no[i] != db2.j_no[j]
+            ):
+                continue
+            a = list(db1.seqs[i, : db1.lengths[i]])
+            b = list(db2.seqs[j, : db2.lengths[j]])
+            if len(a) == len(b):
+                if hamming(a, b) <= spec.differences:
+                    out.add((i, j))
+            elif spec.indels and spec.differences == 1:
+                if one_indel(a, b):
+                    out.add((i, j))
+    return out
+
+
+@pytest.mark.parametrize(
+    "d,indels,genes,self_ex",
+    [
+        (0, False, False, False),
+        (1, False, False, False),
+        (1, True, False, False),
+        (1, True, True, False),
+        (2, False, False, False),
+        (3, False, True, False),
+        (1, True, False, True),
+    ],
+)
+def test_engine_matches_oracle(d, indels, genes, self_ex):
+    rng = random.Random(d * 100 + indels * 10 + genes)
+    # tiny alphabet & lengths force collisions, runs of equal residues,
+    # and indel edge cases (deletions at run boundaries, ends)
+    seqs = []
+    for _ in range(180):
+        L = rng.randint(1, 7)
+        seqs.append([rng.randrange(3) for _ in range(L)])
+    vs = [rng.randrange(2) for _ in seqs]
+    js = [rng.randrange(2) for _ in seqs]
+    db = make_db(seqs, vs, js)
+    spec = MatchSpec(
+        differences=d,
+        indels=indels,
+        ignore_genes=genes,
+        exclude_self=self_ex,
+    )
+    i1, i2, dist = find_pairs(db, db, spec)
+    got = set(zip(i1.tolist(), i2.tolist()))
+    want = oracle_pairs(db, db, spec)
+    assert got == want
+
+    # distances reported for pairs agree with the oracle definition
+    for a, b, dd in zip(i1.tolist(), i2.tolist(), dist.tolist()):
+        la, lb = db.lengths[a], db.lengths[b]
+        if la == lb:
+            assert dd == hamming(
+                list(db.seqs[a, :la]), list(db.seqs[b, :lb])
+            )
+        else:
+            assert dd == 1
