@@ -555,6 +555,40 @@ def dense_matrix(
 
 
 @lru_cache(maxsize=None)
+def _count_fn(spec: MatchSpec, tile_m: int, tile_n: int):
+    """Per-tile match counts over the whole worklist in one dispatch —
+    phase 1 of sparse extraction. Only tiles with matches are then
+    materialised and transferred (phase 2), which matters on TPU where
+    every host round trip and byte of D2H traffic is expensive."""
+    kw = dict(
+        differences=spec.differences,
+        indels=spec.indels and spec.differences == 1,
+        ignore_genes=spec.ignore_genes,
+        exclude_self=spec.exclude_self,
+    )
+
+    def run(a_seq, a_rseq, a_len, a_v, a_j, a_orig,
+            b_seq, b_rseq, b_len, b_v, b_j, b_orig, starts):
+        def one(_, st):
+            ra, rb = st[0], st[1]
+            sl_a = lambda x: lax.dynamic_slice_in_dim(x, ra, tile_m, axis=0)
+            sl_b = lambda x: lax.dynamic_slice_in_dim(x, rb, tile_n, axis=0)
+            codes = _tile_codes(
+                sl_a(a_seq), sl_a(a_rseq), sl_a(a_len), sl_a(a_v),
+                sl_a(a_j), sl_a(a_orig),
+                sl_b(b_seq), sl_b(b_rseq), sl_b(b_len), sl_b(b_v),
+                sl_b(b_j), sl_b(b_orig),
+                **kw,
+            )
+            return None, jnp.sum((codes != 0).astype(jnp.int32))
+
+        _, counts = lax.scan(one, None, (starts[:, 0], starts[:, 1]))
+        return counts
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
 def _slab_fn(spec: MatchSpec, tile_m: int, tile_n: int):
     kw = dict(
         differences=spec.differences,
@@ -619,8 +653,21 @@ def find_pairs(
                   dev(a.j), dev(a.orig))
         b_args = (dev(b.seqs), dev(b.rseqs), dev(b.lengths), dev(b.v),
                   dev(b.j), dev(b.orig))
-        # pad worklist to SLAB multiple pointing at the all-pad dummy tile
         dummy = np.array([[a.np_ - TILE_M, b.np_ - TILE_N]], dtype=np.int32)
+
+        if jax.default_backend() != "cpu":
+            # phase 1: per-tile counts in one dispatch, then restrict
+            # extraction to tiles that actually contain matches
+            counted = pad_worklist(work, a, b, TILE_M, TILE_N)
+            counts = np.asarray(
+                _count_fn(spec, TILE_M, TILE_N)(
+                    *a_args, *b_args, jnp.asarray(counted)
+                )
+            )
+            work = counted[counts > 0]
+            w = len(work)
+
+        # pad worklist to SLAB multiple pointing at the all-pad dummy tile
         wpad = (-w) % SLAB
         work_padded = np.concatenate(
             [work, np.repeat(dummy, wpad, axis=0)]
