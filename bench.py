@@ -98,35 +98,39 @@ def main():
         d1, d2, spec, SCORE_PRODUCT, False, tile_m=tile, tile_n=tile
     )
 
-    # steady state: one full query (pack + upload + kernel + download)
-    t0 = time.perf_counter()
-    m = dense_matrix(
-        d1, d2, spec, SCORE_PRODUCT, False, tile_m=tile, tile_n=tile
-    )
-    wall = time.perf_counter() - t0
+    # steady state: full queries (pack + upload + kernel + download);
+    # min-of-3 damps the shared-tunnel transfer variance
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        m = dense_matrix(
+            d1, d2, spec, SCORE_PRODUCT, False, tile_m=tile, tile_n=tile
+        )
+        wall = min(wall, time.perf_counter() - t0)
 
     # kernel-only rate (pack/upload amortised away): pack once, run 3x
     kernel_rate = None
     if on_tpu:
         from compairr_tpu.ops.engine import (
             _round_up,
-            build_worklist,
-            pack_set,
-            pad_worklist,
+            pack_keys,
+            pad_worklist_n,
+            worklist_from_keys,
         )
         from compairr_tpu.ops.pallas_kernels import (
             dense_matrix_pallas,
-            device_args_pallas,
+            device_args_raw,
         )
 
         lmax = _round_up(max(d1.longest, d2.longest), 8)
-        a = pack_set(d1, lmax, tile, True)
-        b = pack_set(d2, lmax, tile, True)
-        work = pad_worklist(
-            build_worklist(a, b, spec, tile, tile), a, b, tile, tile
+        order_a, key_a, npad_a = pack_keys(d1, tile, True)
+        order_b, key_b, npad_b = pack_keys(d2, tile, True)
+        da = device_args_raw(d1, order_a, npad_a, lmax)
+        db = device_args_raw(d2, order_b, npad_b, lmax)
+        work = pad_worklist_n(
+            worklist_from_keys(key_a, d1.n, key_b, d2.n, 0, tile, tile),
+            npad_a, npad_b, tile, tile,
         )
-        da = device_args_pallas(a, lmax)
-        db = device_args_pallas(b, lmax)
         kw = dict(
             differences=2, indels=False, ignore_genes=False,
             score_int=SCORE_PRODUCT, ignore_counts=False,

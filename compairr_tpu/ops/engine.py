@@ -124,7 +124,8 @@ _KEY_PAD = np.int64(1) << 62
 
 
 def pack_set(
-    db: SeqDB, lmax: int, tile: int, by_vjl: bool = False
+    db: SeqDB, lmax: int, tile: int, by_vjl: bool = False,
+    need_rseqs: bool = True,
 ) -> PackedSet:
     """Sort by a bucket key and pad row count to a tile multiple plus
     one all-padding dummy tile (the target of worklist padding).
@@ -136,6 +137,10 @@ def pack_set(
     TPU-grid analogue of the reference's variant-hashing pair
     avoidance. The length occupies the low 16 bits of the key so the
     indel tolerance is a +-1 key range within the same gene pair.
+
+    need_rseqs=False skips the host-side per-row reversal (a ~0.3 s/M
+    rows memory shuffle); the Pallas path re-derives reversed rows on
+    device (pallas_kernels._derive_fn) and never reads the host copy.
     """
     n = db.n
     if by_vjl:
@@ -171,7 +176,7 @@ def pack_set(
         key[:n] = key_real[order]
 
     rseqs = np.full((npad, lmax), pad_val, dtype=np.int8)
-    if n:
+    if n and need_rseqs:
         rseqs[:n] = _reverse_rows(seqs[:n], lengths[:n], pad_val)
 
     return PackedSet(
@@ -186,6 +191,27 @@ def pack_set(
         key=key,
         n=n,
     )
+
+
+def pack_keys(db: SeqDB, tile: int, by_vjl: bool):
+    """Host half of the zero-copy pallas pack: the bucket sort order
+    and the sorted (padded) key vector, leaving all row gathering to
+    the device (pallas_kernels.device_args_raw). Returns
+    (order int32[n], keys int64[npad], npad)."""
+    n = db.n
+    if by_vjl:
+        nj = max(len(db.genes.j_names), 1)
+        vj = db.v_no.astype(np.int64) * nj + db.j_no.astype(np.int64)
+        key_real = (vj << 16) | db.lengths.astype(np.int64)
+    else:
+        key_real = db.lengths.astype(np.int64)
+    order = np.argsort(key_real, kind="stable").astype(np.int32)
+    pad_rows = (-n) % tile + tile  # at least one full dummy tile
+    npad = n + pad_rows
+    key = np.full(npad, _KEY_PAD, dtype=np.int64)
+    if n:
+        key[:n] = key_real[order]
+    return order, key, npad
 
 
 def worklist_from_keys(
@@ -230,8 +256,8 @@ def build_worklist(
     )
 
 
-def pad_worklist(
-    work: np.ndarray, a: PackedSet, b: PackedSet, tile_m: int, tile_n: int
+def pad_worklist_n(
+    work: np.ndarray, npad_a: int, npad_b: int, tile_m: int, tile_n: int
 ) -> np.ndarray:
     """Pad the worklist to the next power of two with dummy tiles
     aimed at the all-padding rows (zero contribution), so kernel
@@ -241,9 +267,15 @@ def pad_worklist(
     if w == target:
         return work
     dummy = np.array(
-        [[a.np_ - tile_m, b.np_ - tile_n]], dtype=np.int32
+        [[npad_a - tile_m, npad_b - tile_n]], dtype=np.int32
     )
     return np.concatenate([work, np.repeat(dummy, target - w, axis=0)])
+
+
+def pad_worklist(
+    work: np.ndarray, a: PackedSet, b: PackedSet, tile_m: int, tile_n: int
+) -> np.ndarray:
+    return pad_worklist_n(work, a.np_, b.np_, tile_m, tile_n)
 
 
 # --------------------------------------------------------------------
@@ -499,51 +531,72 @@ def dense_matrix(
     if use_pallas:
         lmax = _round_up(lmax, 8)
     by_vjl = not spec.ignore_genes
-    a = pack_set(db1, lmax, tile_m, by_vjl)
-    b = (
-        a
-        if (db2 is db1 and tile_m == tile_n)
-        else pack_set(db2, lmax, tile_n, by_vjl)
-    )
-    work = build_worklist(a, b, spec, tile_m, tile_n)
+    delta = 1 if (spec.indels and spec.differences == 1) else 0
     r1p = _round_up(max(db1.repertoire_count, 1), 8)
     r2p = _round_up(max(db2.repertoire_count, 1), 128)
 
-    if logger is not None and progress_prompt is not None:
-        logger.progress_init(progress_prompt, max(len(work), 1))
+    if use_pallas:
+        # Zero-copy-host pack: upload the raw arrays immediately (the
+        # tunnel transfer is the bottleneck and runs async), sort rows
+        # on device, keep only the argsort + key vector on host.
+        from .pallas_kernels import dense_matrix_pallas, device_args_raw
 
-    if len(work) == 0:
-        acc = np.zeros((r1p, r2p), dtype=np.float32)
-    elif use_pallas:
-        from .pallas_kernels import dense_matrix_pallas, device_args_pallas
+        order_a, key_a, npad_a = pack_keys(db1, tile_m, by_vjl)
+        da = device_args_raw(db1, order_a, npad_a, lmax)
+        if db2 is db1 and tile_m == tile_n:
+            key_b, npad_b, db_dev = key_a, npad_a, da
+        else:
+            order_b, key_b, npad_b = pack_keys(db2, tile_n, by_vjl)
+            db_dev = device_args_raw(db2, order_b, npad_b, lmax)
+        work = worklist_from_keys(
+            key_a, db1.n, key_b, db2.n, delta, tile_m, tile_n
+        )
 
-        da = device_args_pallas(a, lmax)
-        db = da if b is a else device_args_pallas(b, lmax)
-        acc = np.asarray(
-            dense_matrix_pallas(
-                da["a"],
-                db["b"],
-                pad_worklist(work, a, b, tile_m, tile_n),
-                differences=spec.differences,
-                indels=spec.indels and spec.differences == 1,
-                ignore_genes=spec.ignore_genes,
-                score_int=score_int,
-                ignore_counts=ignore_counts,
-                tile_m=tile_m,
-                tile_n=tile_n,
-                r1p=r1p,
-                r2p=r2p,
-                interpret=not on_tpu,
+        if logger is not None and progress_prompt is not None:
+            logger.progress_init(progress_prompt, max(len(work), 1))
+
+        if len(work) == 0:
+            acc = np.zeros((r1p, r2p), dtype=np.float32)
+        else:
+            acc = np.asarray(
+                dense_matrix_pallas(
+                    da["a"],
+                    db_dev["b"],
+                    pad_worklist_n(work, npad_a, npad_b, tile_m, tile_n),
+                    differences=spec.differences,
+                    indels=spec.indels and spec.differences == 1,
+                    ignore_genes=spec.ignore_genes,
+                    score_int=score_int,
+                    ignore_counts=ignore_counts,
+                    tile_m=tile_m,
+                    tile_n=tile_n,
+                    r1p=r1p,
+                    r2p=r2p,
+                    interpret=not on_tpu,
+                )
             )
-        )
     else:
-        fn = _dense_fn(
-            spec, score_int, ignore_counts, tile_m, tile_n, r1p, r2p,
-            on_tpu,
+        a = pack_set(db1, lmax, tile_m, by_vjl)
+        b = (
+            a
+            if (db2 is db1 and tile_m == tile_n)
+            else pack_set(db2, lmax, tile_n, by_vjl)
         )
-        acc = np.asarray(
-            fn(_device_args(a), _device_args(b), jnp.asarray(work))
-        )
+        work = build_worklist(a, b, spec, tile_m, tile_n)
+
+        if logger is not None and progress_prompt is not None:
+            logger.progress_init(progress_prompt, max(len(work), 1))
+
+        if len(work) == 0:
+            acc = np.zeros((r1p, r2p), dtype=np.float32)
+        else:
+            fn = _dense_fn(
+                spec, score_int, ignore_counts, tile_m, tile_n, r1p, r2p,
+                on_tpu,
+            )
+            acc = np.asarray(
+                fn(_device_args(a), _device_args(b), jnp.asarray(work))
+            )
 
     if logger is not None and progress_prompt is not None:
         logger.progress_update(len(work))
@@ -618,6 +671,27 @@ def _slab_fn(spec: MatchSpec, tile_m: int, tile_n: int):
     return jax.jit(run)
 
 
+def _sparse_inputs(db: SeqDB, tile: int, by_vjl: bool, lmax: int,
+                   on_tpu: bool):
+    """Device args + host metadata for the sparse path. On TPU the raw
+    arrays are uploaded immediately (async, overlapping the host key
+    sort) and rows are gathered/reversed on device; on CPU the packed
+    host arrays are used directly."""
+    if on_tpu:
+        from .pallas_kernels import device_rows_raw
+
+        order, key, npad = pack_keys(db, tile, by_vjl)
+        args = device_rows_raw(db, order, npad, lmax)
+        orig = np.full(npad, -1, dtype=np.int64)
+        orig[: db.n] = order
+        return args, orig, key, npad
+    p = pack_set(db, lmax, tile, by_vjl)
+    dev = jax.device_put
+    args = (dev(p.seqs), dev(p.rseqs), dev(p.lengths), dev(p.v),
+            dev(p.j), dev(p.orig))
+    return args, p.orig, p.key, p.np_
+
+
 def find_pairs(
     db1: SeqDB,
     db2: SeqDB,
@@ -629,14 +703,26 @@ def find_pairs(
 
     Returns (idx1, idx2, dist) in original indices, unordered.
     """
+    on_tpu = jax.default_backend() != "cpu"
     lmax = int(max(db1.longest, db2.longest, 1))
+    if on_tpu:
+        lmax = _round_up(lmax, 8)
     by_vjl = not spec.ignore_genes
-    a = pack_set(db1, lmax, TILE_M, by_vjl)
-    b = pack_set(db2, lmax, TILE_N, by_vjl) if db2 is not db1 else (
-        a if TILE_M == TILE_N else pack_set(db2, lmax, TILE_N, by_vjl)
-    )
+    delta = 1 if (spec.indels and spec.differences == 1) else 0
 
-    work = build_worklist(a, b, spec, TILE_M, TILE_N)
+    a_args, orig_a, key_a, npad_a = _sparse_inputs(
+        db1, TILE_M, by_vjl, lmax, on_tpu
+    )
+    if db2 is db1 and TILE_M == TILE_N:
+        b_args, orig_b, key_b, npad_b = a_args, orig_a, key_a, npad_a
+    else:
+        b_args, orig_b, key_b, npad_b = _sparse_inputs(
+            db2, TILE_N, by_vjl, lmax, on_tpu
+        )
+
+    work = worklist_from_keys(
+        key_a, db1.n, key_b, db2.n, delta, TILE_M, TILE_N
+    )
     w = len(work)
 
     if logger is not None and progress_prompt is not None:
@@ -648,17 +734,12 @@ def find_pairs(
 
     if w:
         run = _slab_fn(spec, TILE_M, TILE_N)
-        dev = jax.device_put
-        a_args = (dev(a.seqs), dev(a.rseqs), dev(a.lengths), dev(a.v),
-                  dev(a.j), dev(a.orig))
-        b_args = (dev(b.seqs), dev(b.rseqs), dev(b.lengths), dev(b.v),
-                  dev(b.j), dev(b.orig))
-        dummy = np.array([[a.np_ - TILE_M, b.np_ - TILE_N]], dtype=np.int32)
+        dummy = np.array([[npad_a - TILE_M, npad_b - TILE_N]], dtype=np.int32)
 
-        if jax.default_backend() != "cpu":
+        if on_tpu:
             # phase 1: per-tile counts in one dispatch, then restrict
             # extraction to tiles that actually contain matches
-            counted = pad_worklist(work, a, b, TILE_M, TILE_N)
+            counted = pad_worklist_n(work, npad_a, npad_b, TILE_M, TILE_N)
             counts = np.asarray(
                 _count_fn(spec, TILE_M, TILE_N)(
                     *a_args, *b_args, jnp.asarray(counted)
@@ -680,8 +761,8 @@ def find_pairs(
             if len(wz):
                 ra = slab[wz, 0].astype(np.int64)
                 rb = slab[wz, 1].astype(np.int64)
-                ia = a.orig[ra + mz]
-                ib = b.orig[rb + nz]
+                ia = orig_a[ra + mz]
+                ib = orig_b[rb + nz]
                 out1.append(ia)
                 out2.append(ib)
                 outd.append(codes[wz, mz, nz].astype(np.int64) - 1)

@@ -312,6 +312,156 @@ def _derive_fn(pad_val: int):
     return f
 
 
+@lru_cache(maxsize=None)
+def _gather_derive_fn(pad_val: int):
+    """Device-side bucket sort + layout derivation from the raw
+    (unsorted) upload. The host only computes the argsort permutation;
+    every row gather, the per-row reversal, the transposes, and the
+    [Np,1]/[1,Np] scalar layouts happen on device. This keeps the
+    host->device transfer to the raw bytes and lets it overlap the
+    host-side key sort (the transfer over the TPU tunnel is the
+    end-to-end bottleneck, ~100 MB/s)."""
+
+    @jax.jit
+    def f(seqs, lengths, v, j, rep, cnt, order):
+        # raw arrays carry one trailing sentinel row/element (all-pad
+        # sequence, length/v/j/rep = -1, count = 0); `order` maps every
+        # padded output row to a source row, pads pointing at the
+        # sentinel.
+        npad = order.shape[0]
+        seqs_s = jnp.take(seqs, order, axis=0)
+        n, l = seqs_s.shape
+        lengths_s = jnp.take(lengths.astype(jnp.int32), order)
+        v_s = jnp.take(v.astype(jnp.int32), order)
+        j_s = jnp.take(j.astype(jnp.int32), order)
+        rep_s = jnp.take(rep.astype(jnp.int32), order)
+        cnt_s = jnp.take(cnt.astype(jnp.float32), order)
+
+        pos = jnp.arange(l, dtype=jnp.int32)[None, :]
+        idx = jnp.clip(lengths_s[:, None] - 1 - pos, 0, l - 1)
+        rev = jnp.take_along_axis(seqs_s, idx, axis=1)
+        rseqs = jnp.where(
+            pos < lengths_s[:, None], rev, jnp.int8(pad_val)
+        ).astype(jnp.int8)
+        col = lambda x: x.reshape(npad, 1)
+        row = lambda x: x.reshape(1, npad)
+        a = dict(
+            seqs=seqs_s,
+            rseqs=rseqs,
+            len=col(lengths_s),
+            v=col(v_s),
+            j=col(j_s),
+            rep=col(rep_s),
+            cnt=col(cnt_s),
+        )
+        b = dict(
+            seqs=seqs_s,
+            seqsT=seqs_s.T,
+            rseqsT=rseqs.T,
+            len=row(lengths_s),
+            v=row(v_s),
+            j=row(j_s),
+            rep=row(rep_s),
+            cnt=row(cnt_s),
+        )
+        return a, b
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _gather_rows_fn(pad_val: int):
+    """Like _gather_derive_fn but produces the row-major layouts the
+    XLA slab functions (engine._slab_fn/_count_fn) consume: [Np, L]
+    residue matrices and flat [Np] scalars."""
+
+    @jax.jit
+    def f(seqs, lengths, v, j, orig, order):
+        seqs_s = jnp.take(seqs, order, axis=0)
+        n, l = seqs_s.shape
+        lengths_s = jnp.take(lengths.astype(jnp.int32), order)
+        pos = jnp.arange(l, dtype=jnp.int32)[None, :]
+        idx = jnp.clip(lengths_s[:, None] - 1 - pos, 0, l - 1)
+        rev = jnp.take_along_axis(seqs_s, idx, axis=1)
+        rseqs = jnp.where(
+            pos < lengths_s[:, None], rev, jnp.int8(pad_val)
+        ).astype(jnp.int8)
+        return (
+            seqs_s,
+            rseqs,
+            lengths_s,
+            jnp.take(v.astype(jnp.int32), order),
+            jnp.take(j.astype(jnp.int32), order),
+            jnp.take(orig.astype(jnp.int32), order),
+        )
+
+    return f
+
+
+def device_rows_raw(db, order: np.ndarray, npad: int, lpad: int):
+    """Upload a SeqDB's raw arrays and derive the sorted row-major
+    layouts on device — the sparse-path twin of device_args_raw.
+    Returns the (seqs, rseqs, len, v, j, orig) tuple for
+    engine._slab_fn/_count_fn."""
+    n = db.n
+    pad_val = int(db.pad_value)
+    seqs = np.full((n + 1, lpad), pad_val, dtype=np.int8)
+    if n:
+        seqs[:n, : db.seqs.shape[1]] = db.seqs
+    orig = np.arange(n + 1, dtype=np.int32)
+    orig[-1] = -1
+    order_full = np.full(npad, n, dtype=np.int32)
+    order_full[:n] = order
+    dev = jax.device_put
+    return _gather_rows_fn(pad_val)(
+        dev(seqs),
+        dev(_shrink(db.lengths, -1)),
+        dev(_shrink(db.v_no, -1)),
+        dev(_shrink(db.j_no, -1)),
+        dev(orig),
+        dev(order_full),
+    )
+
+
+def _shrink(x: np.ndarray, sentinel: int) -> np.ndarray:
+    """Append a sentinel and downcast to int16 when the values fit —
+    halves the per-sequence scalar transfer."""
+    out = np.empty(len(x) + 1, dtype=np.int64)
+    out[:-1] = x
+    out[-1] = sentinel
+    if out.min() >= -32768 and out.max() < 32768:
+        return out.astype(np.int16)
+    return out.astype(np.int32)
+
+
+def device_args_raw(db, order: np.ndarray, npad: int, lpad: int) -> dict:
+    """Upload a SeqDB's raw arrays (plus one sentinel row) and derive
+    the sorted kernel layouts on device (see _gather_derive_fn).
+    `order` is pack_keys' permutation; padding rows map to the
+    sentinel."""
+    n = db.n
+    pad_val = int(db.pad_value)
+    seqs = np.full((n + 1, lpad), pad_val, dtype=np.int8)
+    if n:
+        seqs[:n, : db.seqs.shape[1]] = db.seqs
+    cnt = np.empty(n + 1, dtype=np.float32)
+    cnt[:n] = db.counts
+    cnt[-1] = 0.0
+    order_full = np.full(npad, n, dtype=np.int32)
+    order_full[:n] = order
+    dev = jax.device_put
+    a, b = _gather_derive_fn(pad_val)(
+        dev(seqs),
+        dev(_shrink(db.lengths, -1)),
+        dev(_shrink(db.v_no, -1)),
+        dev(_shrink(db.j_no, -1)),
+        dev(_shrink(db.rep_no, -1)),
+        dev(cnt),
+        dev(order_full),
+    )
+    return {"a": a, "b": b}
+
+
 def device_args_pallas(p, lpad: int):
     """Upload a PackedSet once and derive all kernel layouts on
     device (see _derive_fn)."""

@@ -160,7 +160,11 @@ def dense_matrix_sharded(
 
         # mark the carry as device-varying so the scan carry type is
         # stable under shard_map's varying-manual-axes tracking
-        acc0 = lax.pvary(jnp.zeros((r1p, r2p), dtype=jnp.float32), "shard")
+        zeros = jnp.zeros((r1p, r2p), dtype=jnp.float32)
+        if hasattr(lax, "pcast"):
+            acc0 = lax.pcast(zeros, "shard", to="varying")
+        else:  # older jax
+            acc0 = lax.pvary(zeros, "shard")
         acc, _ = lax.scan(step, acc0, (starts[:, 0], starts[:, 1]))
         return lax.psum(acc, "shard")
 

@@ -72,3 +72,54 @@ def test_dense_self_comparison(dbs):
     dm = dense_matrix(d1, d1, spec, SCORE_PRODUCT, False)
     sm = sparse_matrix(d1, d1, spec, SCORE_PRODUCT, False)
     np.testing.assert_allclose(dm, sm, rtol=0, atol=0)
+
+
+def test_device_derivations_match_host_pack(dbs):
+    """device_args_raw / device_rows_raw (the TPU upload paths, which
+    sort and reverse rows on device) must reproduce pack_set's host
+    layouts exactly."""
+    from compairr_tpu.ops.engine import pack_keys, pack_set
+    from compairr_tpu.ops.pallas_kernels import (
+        device_args_raw,
+        device_rows_raw,
+    )
+
+    d1, _ = dbs
+    lmax = int(d1.longest)
+    tile = 128
+    p = pack_set(d1, lmax, tile, by_vjl=True)
+    order, key, npad = pack_keys(d1, tile, by_vjl=True)
+    assert npad == p.np_
+    np.testing.assert_array_equal(key, p.key)
+    np.testing.assert_array_equal(order, p.orig[: d1.n])
+
+    seqs, rseqs, lens, v, j, orig = (
+        np.asarray(x) for x in device_rows_raw(d1, order, npad, lmax)
+    )
+    n = d1.n
+    np.testing.assert_array_equal(seqs[:n], p.seqs[:n])
+    np.testing.assert_array_equal(rseqs[:n], p.rseqs[:n])
+    np.testing.assert_array_equal(lens[:n], p.lengths[:n])
+    np.testing.assert_array_equal(v[:n], p.v[:n])
+    np.testing.assert_array_equal(j[:n], p.j[:n])
+    np.testing.assert_array_equal(orig[:n], p.orig[:n])
+    # pad rows must never match: pad residues and non-positive lengths
+    assert (lens[n:] <= 0).all()
+    assert (seqs[n:] == d1.pad_value).all()
+
+    dev = device_args_raw(d1, order, npad, lmax)
+    np.testing.assert_array_equal(np.asarray(dev["a"]["seqs"])[:n], p.seqs[:n])
+    np.testing.assert_array_equal(np.asarray(dev["a"]["rseqs"])[:n], p.rseqs[:n])
+    np.testing.assert_array_equal(
+        np.asarray(dev["a"]["len"]).ravel()[:n], p.lengths[:n]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dev["b"]["seqsT"]).T[:n], p.seqs[:n]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dev["b"]["rseqsT"]).T[:n], p.rseqs[:n]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dev["b"]["cnt"]).ravel()[:n],
+        p.counts[:n].astype(np.float32),
+    )
