@@ -43,7 +43,6 @@ from ..utils.progress import Logger
 
 TILE_M = 128
 TILE_N = 128
-SLAB = 64  # worklist tiles per device dispatch
 
 
 def _enable_compilation_cache() -> None:
@@ -641,8 +640,19 @@ def _count_fn(spec: MatchSpec, tile_m: int, tile_n: int):
     return jax.jit(run)
 
 
+S_EXTRACT = 256  # tiles per extraction dispatch
+K_EXTRACT = 1 << 17  # record capacity per extraction dispatch
+
+
 @lru_cache(maxsize=None)
-def _slab_fn(spec: MatchSpec, tile_m: int, tile_n: int):
+def _extract_fn(spec: MatchSpec, tile_m: int, tile_n: int, slab: int,
+                k: int):
+    """Phase-2 sparse extraction with on-device compaction: compute
+    the distance codes for `slab` tiles, then emit only the nonzero
+    (flat_index, code) records into a fixed [k] buffer. The download
+    is O(matches), not O(slab*tile_m*tile_n) — on TPU, where D2H
+    bytes and per-dispatch round trips dominate, this is the
+    difference between seconds and minutes on big worklists."""
     kw = dict(
         differences=spec.differences,
         indels=spec.indels and spec.differences == 1,
@@ -665,8 +675,12 @@ def _slab_fn(spec: MatchSpec, tile_m: int, tile_n: int):
             )
             return None, codes
 
-        _, out = lax.scan(one, None, (starts[:, 0], starts[:, 1]))
-        return out
+        _, codes = lax.scan(one, None, (starts[:, 0], starts[:, 1]))
+        flat = codes.reshape(-1)
+        count = jnp.sum((flat != 0).astype(jnp.int32))
+        (idx,) = jnp.nonzero(flat, size=k, fill_value=0)
+        vals = jnp.take(flat, idx)
+        return idx.astype(jnp.int32), vals, count
 
     return jax.jit(run)
 
@@ -733,41 +747,62 @@ def find_pairs(
     outd: list[np.ndarray] = []
 
     if w:
-        run = _slab_fn(spec, TILE_M, TILE_N)
         dummy = np.array([[npad_a - TILE_M, npad_b - TILE_N]], dtype=np.int32)
 
-        if on_tpu:
-            # phase 1: per-tile counts in one dispatch, then restrict
-            # extraction to tiles that actually contain matches
-            counted = pad_worklist_n(work, npad_a, npad_b, TILE_M, TILE_N)
-            counts = np.asarray(
-                _count_fn(spec, TILE_M, TILE_N)(
-                    *a_args, *b_args, jnp.asarray(counted)
-                )
+        # phase 1: per-tile match counts in one dispatch; drop empty
+        # tiles and use the exact counts to bound each extraction
+        # dispatch's record buffer
+        counted = pad_worklist_n(work, npad_a, npad_b, TILE_M, TILE_N)
+        counts = np.asarray(
+            _count_fn(spec, TILE_M, TILE_N)(
+                *a_args, *b_args, jnp.asarray(counted)
             )
-            work = counted[counts > 0]
-            w = len(work)
+        )
+        nonzero = counts > 0
+        work = counted[nonzero]
+        tile_counts = counts[nonzero]
+        w = len(work)
 
-        # pad worklist to SLAB multiple pointing at the all-pad dummy tile
-        wpad = (-w) % SLAB
-        work_padded = np.concatenate(
-            [work, np.repeat(dummy, wpad, axis=0)]
-        ) if wpad else work
-
-        for s0 in range(0, len(work_padded), SLAB):
-            slab = work_padded[s0 : s0 + SLAB]
-            codes = np.asarray(run(*a_args, *b_args, jnp.asarray(slab)))
-            wz, mz, nz = np.nonzero(codes)
-            if len(wz):
+        # phase 2: greedy-pack tiles into slabs of <= S_EXTRACT tiles
+        # and <= K_EXTRACT total matches, extract compacted records
+        run = _extract_fn(spec, TILE_M, TILE_N, S_EXTRACT, K_EXTRACT)
+        tile_sz = TILE_M * TILE_N
+        done = 0
+        s0 = 0
+        while s0 < w:
+            s1 = s0
+            acc = 0
+            while (
+                s1 < w
+                and s1 - s0 < S_EXTRACT
+                and acc + tile_counts[s1] <= K_EXTRACT
+            ):
+                acc += tile_counts[s1]
+                s1 += 1
+            slab = work[s0:s1]
+            nreal = len(slab)
+            if nreal < S_EXTRACT:
+                slab = np.concatenate(
+                    [slab, np.repeat(dummy, S_EXTRACT - nreal, axis=0)]
+                )
+            idx, vals, cnt = run(*a_args, *b_args, jnp.asarray(slab))
+            # one bulk D2H fetch; slice to the real record count on host
+            cnt = int(cnt)
+            idx = np.asarray(idx)[:cnt].astype(np.int64)
+            vals = np.asarray(vals)[:cnt]
+            if cnt:
+                wz = idx // tile_sz
+                mz = (idx % tile_sz) // TILE_N
+                nz = idx % TILE_N
                 ra = slab[wz, 0].astype(np.int64)
                 rb = slab[wz, 1].astype(np.int64)
-                ia = orig_a[ra + mz]
-                ib = orig_b[rb + nz]
-                out1.append(ia)
-                out2.append(ib)
-                outd.append(codes[wz, mz, nz].astype(np.int64) - 1)
+                out1.append(orig_a[ra + mz])
+                out2.append(orig_b[rb + nz])
+                outd.append(vals.astype(np.int64) - 1)
+            done += nreal
+            s0 = s1
             if logger is not None and progress_prompt is not None:
-                logger.progress_update(min(s0 + SLAB, w))
+                logger.progress_update(done)
 
     if logger is not None and progress_prompt is not None:
         logger.progress_done()
