@@ -114,7 +114,6 @@ def main():
         from compairr_tpu.ops.engine import (
             _round_up,
             pack_keys,
-            pad_worklist_n,
             worklist_from_keys,
         )
         from compairr_tpu.ops.pallas_kernels import (
@@ -127,10 +126,7 @@ def main():
         order_b, key_b, npad_b = pack_keys(d2, tile, True)
         da = device_args_raw(d1, order_a, npad_a, lmax)
         db = device_args_raw(d2, order_b, npad_b, lmax)
-        work = pad_worklist_n(
-            worklist_from_keys(key_a, d1.n, key_b, d2.n, 0, tile, tile),
-            npad_a, npad_b, tile, tile,
-        )
+        work = worklist_from_keys(key_a, d1.n, key_b, d2.n, 0, tile, tile)
         kw = dict(
             differences=2, indels=False, ignore_genes=False,
             score_int=SCORE_PRODUCT, ignore_counts=False,

@@ -149,8 +149,7 @@ def pack_set(
     else:
         key_real = db.lengths.astype(np.int64)
     order = np.argsort(key_real, kind="stable")
-    pad_rows = (-n) % tile + tile  # at least one full dummy tile
-    npad = n + pad_rows
+    npad = canon_rows(n, tile)
 
     pad_val = db.pad_value
     seqs = np.full((npad, lmax), pad_val, dtype=np.int8)
@@ -192,6 +191,19 @@ def pack_set(
     )
 
 
+def canon_rows(n: int, tile: int) -> int:
+    """Smallest padded row count >= n + tile (one all-pad dummy tile),
+    tile-aligned, drawn from a ~1.25x geometric ladder. Shapes under
+    jit are compiled per exact size; quantising row counts bounds the
+    set of distinct compiles across dataset sizes (a fresh XLA compile
+    over the TPU tunnel costs seconds to minutes)."""
+    need = _round_up(n, tile) + tile
+    s = tile
+    while s < need:
+        s = _round_up(int(s * 1.25) + 1, tile)
+    return s
+
+
 def pack_keys(db: SeqDB, tile: int, by_vjl: bool):
     """Host half of the zero-copy pallas pack: the bucket sort order
     and the sorted (padded) key vector, leaving all row gathering to
@@ -205,8 +217,7 @@ def pack_keys(db: SeqDB, tile: int, by_vjl: bool):
     else:
         key_real = db.lengths.astype(np.int64)
     order = np.argsort(key_real, kind="stable").astype(np.int32)
-    pad_rows = (-n) % tile + tile  # at least one full dummy tile
-    npad = n + pad_rows
+    npad = canon_rows(n, tile)
     key = np.full(npad, _KEY_PAD, dtype=np.int64)
     if n:
         key[:n] = key_real[order]
@@ -262,7 +273,8 @@ def pad_worklist_n(
     aimed at the all-padding rows (zero contribution), so kernel
     compilations are reused across dataset sizes."""
     w = len(work)
-    target = max(64, 1 << (w - 1).bit_length()) if w else 64
+    # >= 1024 so the Pallas count kernel's (1024,) output blocks tile
+    target = max(1024, 1 << (w - 1).bit_length()) if w else 1024
     if w == target:
         return work
     dummy = np.array(
@@ -300,14 +312,31 @@ def _tile_codes(
     indels: bool,
     ignore_genes: bool,
     exclude_self: bool,
+    mxu: bool = False,
 ):
     """Distance codes for one [TM, TN] tile: 0 = no match, else
     distance + 1. Pure jnp; shapes are static."""
     # Hamming for equal lengths: pad matches pad, so distance is the
     # number of mismatching positions over the padded width.
-    mism = jnp.sum(
-        a_seq[:, None, :] != b_seq[None, :, :], axis=2, dtype=jnp.int32
-    )
+    if mxu:
+        lpad = a_seq.shape[1]
+        nclass = 32
+        cls = lax.broadcasted_iota(jnp.int8, (1, 1, nclass), 2)
+        oh_a = (a_seq[:, :, None] == cls).astype(jnp.int8)
+        oh_b = (b_seq[:, :, None] == cls).astype(jnp.int8)
+        oh_a = oh_a.reshape(a_seq.shape[0], lpad * nclass)
+        oh_b = oh_b.reshape(b_seq.shape[0], lpad * nclass)
+        matches = lax.dot_general(
+            oh_a,
+            oh_b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        mism = lpad - matches
+    else:
+        mism = jnp.sum(
+            a_seq[:, None, :] != b_seq[None, :, :], axis=2, dtype=jnp.int32
+        )
     len_eq = a_len[:, None] == b_len[None, :]
     valid = (a_len[:, None] > 0) & (b_len[None, :] > 0)
     match = len_eq & (mism <= differences)
@@ -561,7 +590,7 @@ def dense_matrix(
                 dense_matrix_pallas(
                     da["a"],
                     db_dev["b"],
-                    pad_worklist_n(work, npad_a, npad_b, tile_m, tile_n),
+                    work,
                     differences=spec.differences,
                     indels=spec.indels and spec.differences == 1,
                     ignore_genes=spec.ignore_genes,
@@ -607,7 +636,8 @@ def dense_matrix(
 
 
 @lru_cache(maxsize=None)
-def _count_fn(spec: MatchSpec, tile_m: int, tile_n: int):
+def _count_fn(spec: MatchSpec, tile_m: int, tile_n: int,
+              mxu: bool = False):
     """Per-tile match counts over the whole worklist in one dispatch —
     phase 1 of sparse extraction. Only tiles with matches are then
     materialised and transferred (phase 2), which matters on TPU where
@@ -617,6 +647,7 @@ def _count_fn(spec: MatchSpec, tile_m: int, tile_n: int):
         indels=spec.indels and spec.differences == 1,
         ignore_genes=spec.ignore_genes,
         exclude_self=spec.exclude_self,
+        mxu=mxu,
     )
 
     def run(a_seq, a_rseq, a_len, a_v, a_j, a_orig,
@@ -640,24 +671,28 @@ def _count_fn(spec: MatchSpec, tile_m: int, tile_n: int):
     return jax.jit(run)
 
 
-S_EXTRACT = 256  # tiles per extraction dispatch
-K_EXTRACT = 1 << 17  # record capacity per extraction dispatch
+S_EXTRACT = 2048  # tiles per extraction dispatch
+K_EXTRACT = 1 << 15  # match-word capacity per extraction dispatch
 
 
 @lru_cache(maxsize=None)
 def _extract_fn(spec: MatchSpec, tile_m: int, tile_n: int, slab: int,
-                k: int):
+                k: int, mxu: bool = False):
     """Phase-2 sparse extraction with on-device compaction: compute
-    the distance codes for `slab` tiles, then emit only the nonzero
-    (flat_index, code) records into a fixed [k] buffer. The download
-    is O(matches), not O(slab*tile_m*tile_n) — on TPU, where D2H
-    bytes and per-dispatch round trips dominate, this is the
-    difference between seconds and minutes on big worklists."""
+    the match masks for `slab` tiles, pack each tile row's lanes into
+    uint32 bit-words (32 columns per word), and emit only the nonzero
+    (word_index, word_bits) records into a fixed [k] buffer. Bit
+    packing shrinks the nonzero-compaction input 32x — jnp.nonzero
+    costs ~9 ms per million elements on TPU, which dominated the
+    unpacked variant — and the download is O(matched words), not
+    O(slab*tile_m*tile_n). Distances are recomputed on host from the
+    original sequences (engine._pair_distances)."""
     kw = dict(
         differences=spec.differences,
         indels=spec.indels and spec.differences == 1,
         ignore_genes=spec.ignore_genes,
         exclude_self=spec.exclude_self,
+        mxu=mxu,
     )
 
     def run(a_seq, a_rseq, a_len, a_v, a_j, a_orig,
@@ -673,10 +708,15 @@ def _extract_fn(spec: MatchSpec, tile_m: int, tile_n: int, slab: int,
                 sl_b(b_j), sl_b(b_orig),
                 **kw,
             )
-            return None, codes
+            m = (codes != 0).reshape(tile_m, tile_n // 32, 32)
+            shifts = jnp.arange(32, dtype=jnp.uint32).reshape(1, 1, 32)
+            words = jnp.sum(
+                m.astype(jnp.uint32) << shifts, axis=-1, dtype=jnp.uint32
+            )
+            return None, words
 
-        _, codes = lax.scan(one, None, (starts[:, 0], starts[:, 1]))
-        flat = codes.reshape(-1)
+        _, words = lax.scan(one, None, (starts[:, 0], starts[:, 1]))
+        flat = words.reshape(-1)
         count = jnp.sum((flat != 0).astype(jnp.int32))
         (idx,) = jnp.nonzero(flat, size=k, fill_value=0)
         vals = jnp.take(flat, idx)
@@ -685,25 +725,49 @@ def _extract_fn(spec: MatchSpec, tile_m: int, tile_n: int, slab: int,
     return jax.jit(run)
 
 
+def _pair_distances(
+    db1: SeqDB, db2: SeqDB, i1: np.ndarray, i2: np.ndarray
+) -> np.ndarray:
+    """Distances for matched pairs, recomputed on host: Hamming for
+    equal lengths (pad residues match themselves), 1 for one-indel
+    matches (lengths differ by one). Chunked to bound memory."""
+    n = len(i1)
+    dist = np.ones(n, dtype=np.int64)
+    if n == 0:
+        return dist
+    w = min(db1.seqs.shape[1], db2.seqs.shape[1])
+    l1 = db1.lengths[i1]
+    l2 = db2.lengths[i2]
+    eq = np.nonzero(l1 == l2)[0]
+    for s0 in range(0, len(eq), 1 << 20):
+        sel = eq[s0 : s0 + (1 << 20)]
+        a = db1.seqs[i1[sel], :w]
+        b = db2.seqs[i2[sel], :w]
+        dist[sel] = (a != b).sum(axis=1)
+    return dist
+
+
 def _sparse_inputs(db: SeqDB, tile: int, by_vjl: bool, lmax: int,
                    on_tpu: bool):
     """Device args + host metadata for the sparse path. On TPU the raw
     arrays are uploaded immediately (async, overlapping the host key
     sort) and rows are gathered/reversed on device; on CPU the packed
-    host arrays are used directly."""
+    host arrays are used directly. Returns
+    (xla_rows, pallas_a, pallas_b, orig, key, npad); the pallas dicts
+    are None on CPU."""
     if on_tpu:
         from .pallas_kernels import device_rows_raw
 
         order, key, npad = pack_keys(db, tile, by_vjl)
-        args = device_rows_raw(db, order, npad, lmax)
+        args, pa, pb = device_rows_raw(db, order, npad, lmax)
         orig = np.full(npad, -1, dtype=np.int64)
         orig[: db.n] = order
-        return args, orig, key, npad
+        return args, pa, pb, orig, key, npad
     p = pack_set(db, lmax, tile, by_vjl)
     dev = jax.device_put
     args = (dev(p.seqs), dev(p.rseqs), dev(p.lengths), dev(p.v),
             dev(p.j), dev(p.orig))
-    return args, p.orig, p.key, p.np_
+    return args, None, None, p.orig, p.key, p.np_
 
 
 def find_pairs(
@@ -724,13 +788,15 @@ def find_pairs(
     by_vjl = not spec.ignore_genes
     delta = 1 if (spec.indels and spec.differences == 1) else 0
 
-    a_args, orig_a, key_a, npad_a = _sparse_inputs(
+    a_args, pa_a, _pb_a, orig_a, key_a, npad_a = _sparse_inputs(
         db1, TILE_M, by_vjl, lmax, on_tpu
     )
     if db2 is db1 and TILE_M == TILE_N:
-        b_args, orig_b, key_b, npad_b = a_args, orig_a, key_a, npad_a
+        b_args, pb_b, orig_b, key_b, npad_b = (
+            a_args, _pb_a, orig_a, key_a, npad_a
+        )
     else:
-        b_args, orig_b, key_b, npad_b = _sparse_inputs(
+        b_args, _pa_b, pb_b, orig_b, key_b, npad_b = _sparse_inputs(
             db2, TILE_N, by_vjl, lmax, on_tpu
         )
 
@@ -744,29 +810,50 @@ def find_pairs(
 
     out1: list[np.ndarray] = []
     out2: list[np.ndarray] = []
-    outd: list[np.ndarray] = []
 
     if w:
         dummy = np.array([[npad_a - TILE_M, npad_b - TILE_N]], dtype=np.int32)
 
-        # phase 1: per-tile match counts in one dispatch; drop empty
-        # tiles and use the exact counts to bound each extraction
-        # dispatch's record buffer
-        counted = pad_worklist_n(work, npad_a, npad_b, TILE_M, TILE_N)
-        counts = np.asarray(
-            _count_fn(spec, TILE_M, TILE_N)(
-                *a_args, *b_args, jnp.asarray(counted)
+        # phase 1: per-tile match counts; drop empty tiles and use the
+        # exact counts to bound each extraction dispatch's record
+        # buffer. On TPU this is a Pallas MXU kernel (the XLA scan
+        # serialises tiny VPU tiles, ~10^4x slower on million-tile
+        # worklists).
+        if on_tpu:
+            from .pallas_kernels import count_tiles_pallas
+
+            cand = work
+            counts = count_tiles_pallas(
+                pa_a, pb_b, work,
+                differences=spec.differences,
+                indels=spec.indels and spec.differences == 1,
+                ignore_genes=spec.ignore_genes,
+                exclude_self=spec.exclude_self,
+                tile_m=TILE_M, tile_n=TILE_N,
             )
-        )
+        else:
+            cand = pad_worklist_n(work, npad_a, npad_b, TILE_M, TILE_N)
+            counts = np.asarray(
+                _count_fn(spec, TILE_M, TILE_N)(
+                    *a_args, *b_args, jnp.asarray(cand)
+                )
+            )
         nonzero = counts > 0
-        work = counted[nonzero]
+        work = cand[nonzero]
         tile_counts = counts[nonzero]
         w = len(work)
 
         # phase 2: greedy-pack tiles into slabs of <= S_EXTRACT tiles
-        # and <= K_EXTRACT total matches, extract compacted records
+        # and <= K_EXTRACT total matches (matched words <= matches, so
+        # the word buffer can't overflow), extract packed match words.
+        # The tile codes use the elementwise VPU formulation: measured
+        # on TPU it beats the MXU one-hot inside an XLA scan (the
+        # per-iteration one-hot build doesn't fuse; 0.25s vs 0.85s for
+        # a 16k-tile count dispatch) — the MXU is the Pallas kernels'
+        # domain.
         run = _extract_fn(spec, TILE_M, TILE_N, S_EXTRACT, K_EXTRACT)
-        tile_sz = TILE_M * TILE_N
+        wpr = TILE_N // 32  # match-bit words per tile row
+        wpt = TILE_M * wpr  # words per tile
         done = 0
         s0 = 0
         while s0 < w:
@@ -785,20 +872,24 @@ def find_pairs(
                 slab = np.concatenate(
                     [slab, np.repeat(dummy, S_EXTRACT - nreal, axis=0)]
                 )
-            idx, vals, cnt = run(*a_args, *b_args, jnp.asarray(slab))
+            widx, wvals, cnt = run(*a_args, *b_args, jnp.asarray(slab))
             # one bulk D2H fetch; slice to the real record count on host
             cnt = int(cnt)
-            idx = np.asarray(idx)[:cnt].astype(np.int64)
-            vals = np.asarray(vals)[:cnt]
+            widx = np.asarray(widx)[:cnt].astype(np.int64)
+            wvals = np.asarray(wvals)[:cnt].astype(np.uint32)
             if cnt:
-                wz = idx // tile_sz
-                mz = (idx % tile_sz) // TILE_N
-                nz = idx % TILE_N
-                ra = slab[wz, 0].astype(np.int64)
-                rb = slab[wz, 1].astype(np.int64)
-                out1.append(orig_a[ra + mz])
-                out2.append(orig_b[rb + nz])
-                outd.append(vals.astype(np.int64) - 1)
+                tz = widx // wpt
+                mz = (widx % wpt) // wpr
+                wc = widx % wpr
+                ra = slab[tz, 0].astype(np.int64)
+                rb = slab[tz, 1].astype(np.int64)
+                for b in range(32):
+                    sel = np.nonzero(
+                        (wvals >> np.uint32(b)) & np.uint32(1)
+                    )[0]
+                    if len(sel):
+                        out1.append(orig_a[ra[sel] + mz[sel]])
+                        out2.append(orig_b[rb[sel] + wc[sel] * 32 + b])
             done += nreal
             s0 = s1
             if logger is not None and progress_prompt is not None:
@@ -808,10 +899,8 @@ def find_pairs(
         logger.progress_done()
 
     if out1:
-        return (
-            np.concatenate(out1),
-            np.concatenate(out2),
-            np.concatenate(outd),
-        )
+        i1 = np.concatenate(out1)
+        i2 = np.concatenate(out2)
+        return i1, i2, _pair_distances(db1, db2, i1, i2)
     z = np.zeros(0, dtype=np.int64)
     return z, z, z.copy()

@@ -77,6 +77,65 @@ def _score_tile(ca, cb, score_int: int, ignore_counts: bool):
     return (ca + cb) * 0.5
 
 
+def _match_tile_pallas(
+    a_seq, a_rseq, a_len, a_v, a_j,
+    b_seq, b_seqT, b_rseqT, b_len, b_v, b_j,
+    *,
+    differences: int,
+    indels: bool,
+    ignore_genes: bool,
+    lpad: int,
+    tile_m: int,
+    tile_n: int,
+):
+    """Shared in-kernel match mask (refs already loaded): one-hot int8
+    MXU matmul Hamming + optional one-indel prefix/suffix check +
+    gene/length/validity masks. Returns (match bool [TM,TN],
+    len_pm1 bool [TM,TN] or None)."""
+    oh_a = _onehot(a_seq, NCLASS)
+    oh_b = _onehot(b_seq, NCLASS)
+    matches = lax.dot_general(
+        oh_a,
+        oh_b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    mism = lpad - matches
+
+    la = a_len  # [TM, 1] int32
+    lb = b_len  # [1, TN] int32
+    len_eq = la == lb
+    valid = (la > 0) & (lb > 0)
+    match = len_eq & (mism <= differences)
+    len_pm1 = None
+
+    if indels:
+        pref_alive = jnp.ones((tile_m, tile_n), dtype=jnp.int32)
+        suf_alive = jnp.ones((tile_m, tile_n), dtype=jnp.int32)
+        pref = jnp.zeros((tile_m, tile_n), dtype=jnp.int32)
+        suf = jnp.zeros((tile_m, tile_n), dtype=jnp.int32)
+        for p in range(lpad):
+            eq_f = (
+                a_seq[:, p : p + 1].astype(jnp.int32)
+                == b_seqT[p : p + 1, :].astype(jnp.int32)
+            ).astype(jnp.int32)
+            pref_alive = pref_alive * eq_f
+            pref = pref + pref_alive
+            eq_b = (
+                a_rseq[:, p : p + 1].astype(jnp.int32)
+                == b_rseqT[p : p + 1, :].astype(jnp.int32)
+            ).astype(jnp.int32)
+            suf_alive = suf_alive * eq_b
+            suf = suf + suf_alive
+        minlen = jnp.minimum(la + jnp.zeros_like(lb), lb)
+        len_pm1 = jnp.abs(la - lb) == 1
+        match = match | (len_pm1 & (pref + suf >= minlen))
+
+    if not ignore_genes:
+        match = match & (a_v == b_v) & (a_j == b_j)
+    return match & valid, len_pm1
+
+
 def _make_kernel(
     *,
     differences: int,
@@ -116,47 +175,13 @@ def _make_kernel(
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        oh_a = _onehot(a_seq[:], NCLASS)
-        oh_b = _onehot(b_seq[:], NCLASS)
-        matches = lax.dot_general(
-            oh_a,
-            oh_b,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
+        match, _ = _match_tile_pallas(
+            a_seq[:], a_rseq[:], a_len[:], a_v[:], a_j[:],
+            b_seq[:], b_seqT[:], b_rseqT[:], b_len[:], b_v[:], b_j[:],
+            differences=differences, indels=indels,
+            ignore_genes=ignore_genes, lpad=lpad,
+            tile_m=tile_m, tile_n=tile_n,
         )
-        mism = lpad - matches
-
-        la = a_len[:]  # [TM, 1] int32
-        lb = b_len[:]  # [1, TN] int32
-        len_eq = la == lb
-        valid = (la > 0) & (lb > 0)
-        match = len_eq & (mism <= differences)
-
-        if indels:
-            pref_alive = jnp.ones((tile_m, tile_n), dtype=jnp.int32)
-            suf_alive = jnp.ones((tile_m, tile_n), dtype=jnp.int32)
-            pref = jnp.zeros((tile_m, tile_n), dtype=jnp.int32)
-            suf = jnp.zeros((tile_m, tile_n), dtype=jnp.int32)
-            for p in range(lpad):
-                eq_f = (
-                    a_seq[:, p : p + 1].astype(jnp.int32)
-                    == b_seqT[p : p + 1, :].astype(jnp.int32)
-                ).astype(jnp.int32)
-                pref_alive = pref_alive * eq_f
-                pref = pref + pref_alive
-                eq_b = (
-                    a_rseq[:, p : p + 1].astype(jnp.int32)
-                    == b_rseqT[p : p + 1, :].astype(jnp.int32)
-                ).astype(jnp.int32)
-                suf_alive = suf_alive * eq_b
-                suf = suf + suf_alive
-            minlen = jnp.minimum(la + jnp.zeros_like(lb), lb)
-            len_pm1 = jnp.abs(la - lb) == 1
-            match = match | (len_pm1 & (pref + suf >= minlen))
-
-        if not ignore_genes:
-            match = match & (a_v[:] == b_v[:]) & (a_j[:] == b_j[:])
-        match = match & valid
 
         g = _score_tile(a_cnt[:], b_cnt[:], score_int, ignore_counts)
         sc = jnp.where(match, g, 0.0)
@@ -312,6 +337,202 @@ def _derive_fn(pad_val: int):
     return f
 
 
+def _make_count_kernel(
+    *,
+    differences: int,
+    indels: bool,
+    ignore_genes: bool,
+    exclude_self: bool,
+    lpad: int,
+    tile_m: int,
+    tile_n: int,
+):
+    def kernel(
+        rows_ref,
+        cols_ref,
+        a_seq,
+        a_rseq,
+        a_len,
+        a_v,
+        a_j,
+        a_orig,
+        b_seq,
+        b_seqT,
+        b_rseqT,
+        b_len,
+        b_v,
+        b_j,
+        b_orig,
+        out_ref,
+    ):
+        match, _ = _match_tile_pallas(
+            a_seq[:], a_rseq[:], a_len[:], a_v[:], a_j[:],
+            b_seq[:], b_seqT[:], b_rseqT[:], b_len[:], b_v[:], b_j[:],
+            differences=differences, indels=indels,
+            ignore_genes=ignore_genes, lpad=lpad,
+            tile_m=tile_m, tile_n=tile_n,
+        )
+        if exclude_self:
+            match = match & (a_orig[:] != b_orig[:])
+        # 1024 consecutive programs share one (1024,) SMEM output
+        # block (matching XLA's T(1024) layout for 1-D s32 arrays);
+        # each writes its own slot
+        out_ref[pl.program_id(0) % 1024] = jnp.sum(match.astype(jnp.int32))
+
+    return kernel
+
+
+@lru_cache(maxsize=None)
+def _count_pallas_fn(
+    differences: int,
+    indels: bool,
+    ignore_genes: bool,
+    exclude_self: bool,
+    lpad: int,
+    tile_m: int,
+    tile_n: int,
+    n_tiles: int,
+    interpret: bool = False,
+):
+    """Per-worklist-tile match counts on the MXU — phase 1 of sparse
+    extraction. One program per tile; each writes its own [1,1] count
+    block. ~10^4x the throughput of the XLA-scan count on big
+    worklists (the scan serialises tiny VPU tiles)."""
+    kernel = _make_count_kernel(
+        differences=differences,
+        indels=indels,
+        ignore_genes=ignore_genes,
+        exclude_self=exclude_self,
+        lpad=lpad,
+        tile_m=tile_m,
+        tile_n=tile_n,
+    )
+
+    def a_spec(width):
+        return pl.BlockSpec(
+            (tile_m, width),
+            index_map=lambda i, rows, cols: (rows[i], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def bT_spec(height):
+        return pl.BlockSpec(
+            (height, tile_n),
+            index_map=lambda i, rows, cols: (0, cols[i]),
+            memory_space=pltpu.VMEM,
+        )
+
+    def b_row_spec(width):
+        return pl.BlockSpec(
+            (tile_n, width),
+            index_map=lambda i, rows, cols: (cols[i], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            a_spec(lpad),  # a_seq
+            a_spec(lpad),  # a_rseq
+            a_spec(1),  # a_len
+            a_spec(1),  # a_v
+            a_spec(1),  # a_j
+            a_spec(1),  # a_orig
+            b_row_spec(lpad),  # b_seq
+            bT_spec(lpad),  # b_seqT
+            bT_spec(lpad),  # b_rseqT
+            bT_spec(1),  # b_len
+            bT_spec(1),  # b_v
+            bT_spec(1),  # b_j
+            bT_spec(1),  # b_orig
+        ],
+        out_specs=pl.BlockSpec(
+            (1024,),
+            index_map=lambda i, rows, cols: (i // 1024,),
+            memory_space=pltpu.SMEM,
+        ),
+    )
+
+    assert n_tiles % 1024 == 0, "count worklist must be a 1024-multiple"
+    fn = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles,), jnp.int32),
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+MAX_TILES_PER_CALL = 1 << 16  # scalar-prefetch rows+cols must fit SMEM
+
+
+def _chunk_worklist(work: np.ndarray, tile_m: int, tile_n: int,
+                    npad_a: int, npad_b: int, minimum: int):
+    """Split a worklist into dispatch chunks: each chunk is a
+    power-of-two (>= minimum) or exactly MAX_TILES_PER_CALL tiles,
+    padded with dummy tiles aimed at the all-pad rows. Bounds both
+    the SMEM scalar-prefetch footprint and the set of compiled grid
+    sizes."""
+    dummy = np.array([[npad_a - tile_m, npad_b - tile_n]], dtype=np.int32)
+    w = len(work)
+    chunks = []
+    s0 = 0
+    while s0 < w or not chunks:
+        chunk = work[s0 : s0 + MAX_TILES_PER_CALL]
+        c = len(chunk)
+        target = (
+            MAX_TILES_PER_CALL
+            if (w - s0) > MAX_TILES_PER_CALL
+            else max(minimum, 1 << max(c - 1, 0).bit_length())
+        )
+        if c < target:
+            chunk = np.concatenate(
+                [chunk, np.repeat(dummy, target - c, axis=0)]
+            )
+        chunks.append((chunk, c))
+        s0 += MAX_TILES_PER_CALL
+    return chunks
+
+
+def count_tiles_pallas(
+    pa: dict,
+    pb: dict,
+    work: np.ndarray,
+    *,
+    differences: int,
+    indels: bool,
+    ignore_genes: bool,
+    exclude_self: bool,
+    tile_m: int,
+    tile_n: int,
+    interpret: bool = False,
+) -> np.ndarray:
+    """Per-tile match counts over an (unpadded) worklist of element
+    starts, chunked to keep the scalar-prefetch arrays within SMEM.
+    Returns a host int32[len(work)] array."""
+    lpad = pa["seqs"].shape[1]
+    npad_a = pa["seqs"].shape[0]
+    npad_b = pb["seqsT"].shape[1]
+    args = (
+        pa["seqs"], pa["rseqs"], pa["len"], pa["v"], pa["j"], pa["orig"],
+        pb["seqs"], pb["seqsT"], pb["rseqsT"], pb["len"], pb["v"],
+        pb["j"], pb["orig"],
+    )
+    outs = []
+    for chunk, c in _chunk_worklist(
+        work, tile_m, tile_n, npad_a, npad_b, 1024
+    ):
+        fn = _count_pallas_fn(
+            differences, indels, ignore_genes, exclude_self,
+            lpad, tile_m, tile_n, int(len(chunk)), interpret,
+        )
+        rows = jnp.asarray((chunk[:, 0] // tile_m).astype(np.int32))
+        cols = jnp.asarray((chunk[:, 1] // tile_n).astype(np.int32))
+        outs.append((fn(rows, cols, *args), c))
+    return np.concatenate([np.asarray(o)[:c] for o, c in outs])
+
+
 @lru_cache(maxsize=None)
 def _gather_derive_fn(pad_val: int):
     """Device-side bucket sort + layout derivation from the raw
@@ -370,13 +591,15 @@ def _gather_derive_fn(pad_val: int):
 
 
 @lru_cache(maxsize=None)
-def _gather_rows_fn(pad_val: int):
-    """Like _gather_derive_fn but produces the row-major layouts the
-    XLA slab functions (engine._slab_fn/_count_fn) consume: [Np, L]
-    residue matrices and flat [Np] scalars."""
+def _gather_sparse_fn(pad_val: int):
+    """Sparse-path derive: the row-major layouts the XLA slab
+    functions (engine._slab_fn/_count_fn) consume plus the
+    [Np,1]/[1,Np] layouts the Pallas count kernel consumes, all from
+    one raw upload."""
 
     @jax.jit
     def f(seqs, lengths, v, j, orig, order):
+        npad = order.shape[0]
         seqs_s = jnp.take(seqs, order, axis=0)
         n, l = seqs_s.shape
         lengths_s = jnp.take(lengths.astype(jnp.int32), order)
@@ -386,49 +609,73 @@ def _gather_rows_fn(pad_val: int):
         rseqs = jnp.where(
             pos < lengths_s[:, None], rev, jnp.int8(pad_val)
         ).astype(jnp.int8)
-        return (
-            seqs_s,
-            rseqs,
-            lengths_s,
-            jnp.take(v.astype(jnp.int32), order),
-            jnp.take(j.astype(jnp.int32), order),
-            jnp.take(orig.astype(jnp.int32), order),
+        v_s = jnp.take(v.astype(jnp.int32), order)
+        j_s = jnp.take(j.astype(jnp.int32), order)
+        orig_s = jnp.take(orig.astype(jnp.int32), order)
+        rows = (seqs_s, rseqs, lengths_s, v_s, j_s, orig_s)
+        col = lambda x: x.reshape(npad, 1)
+        row = lambda x: x.reshape(1, npad)
+        pa = dict(
+            seqs=seqs_s,
+            rseqs=rseqs,
+            len=col(lengths_s),
+            v=col(v_s),
+            j=col(j_s),
+            orig=col(orig_s),
         )
+        pb = dict(
+            seqs=seqs_s,
+            seqsT=seqs_s.T,
+            rseqsT=rseqs.T,
+            len=row(lengths_s),
+            v=row(v_s),
+            j=row(j_s),
+            orig=row(orig_s),
+        )
+        return rows, pa, pb
 
     return f
 
 
+def _canon_src(n: int) -> int:
+    """Canonical raw-upload row count (see engine.canon_rows)."""
+    from .engine import canon_rows
+
+    return canon_rows(n, 1024)
+
+
 def device_rows_raw(db, order: np.ndarray, npad: int, lpad: int):
-    """Upload a SeqDB's raw arrays and derive the sorted row-major
-    layouts on device — the sparse-path twin of device_args_raw.
-    Returns the (seqs, rseqs, len, v, j, orig) tuple for
-    engine._slab_fn/_count_fn."""
+    """Upload a SeqDB's raw arrays and derive the sorted layouts on
+    device — the sparse-path twin of device_args_raw. Returns
+    (rows_tuple, pallas_a_dict, pallas_b_dict); rows_tuple is the
+    (seqs, rseqs, len, v, j, orig) input of engine._slab_fn/_count_fn."""
     n = db.n
     pad_val = int(db.pad_value)
-    seqs = np.full((n + 1, lpad), pad_val, dtype=np.int8)
+    m = _canon_src(n + 1)
+    seqs = np.full((m, lpad), pad_val, dtype=np.int8)
     if n:
         seqs[:n, : db.seqs.shape[1]] = db.seqs
-    orig = np.arange(n + 1, dtype=np.int32)
-    orig[-1] = -1
+    orig = np.full(m, -1, dtype=np.int32)
+    orig[:n] = np.arange(n, dtype=np.int32)
     order_full = np.full(npad, n, dtype=np.int32)
     order_full[:n] = order
     dev = jax.device_put
-    return _gather_rows_fn(pad_val)(
+    return _gather_sparse_fn(pad_val)(
         dev(seqs),
-        dev(_shrink(db.lengths, -1)),
-        dev(_shrink(db.v_no, -1)),
-        dev(_shrink(db.j_no, -1)),
+        dev(_shrink(db.lengths, -1, m)),
+        dev(_shrink(db.v_no, -1, m)),
+        dev(_shrink(db.j_no, -1, m)),
         dev(orig),
         dev(order_full),
     )
 
 
-def _shrink(x: np.ndarray, sentinel: int) -> np.ndarray:
-    """Append a sentinel and downcast to int16 when the values fit —
-    halves the per-sequence scalar transfer."""
-    out = np.empty(len(x) + 1, dtype=np.int64)
-    out[:-1] = x
-    out[-1] = sentinel
+def _shrink(x: np.ndarray, sentinel: int, m: int) -> np.ndarray:
+    """Pad to the canonical length with sentinels and downcast to
+    int16 when the values fit — halves the per-sequence scalar
+    transfer."""
+    out = np.full(m, sentinel, dtype=np.int64)
+    out[: len(x)] = x
     if out.min() >= -32768 and out.max() < 32768:
         return out.astype(np.int16)
     return out.astype(np.int32)
@@ -441,21 +688,21 @@ def device_args_raw(db, order: np.ndarray, npad: int, lpad: int) -> dict:
     sentinel."""
     n = db.n
     pad_val = int(db.pad_value)
-    seqs = np.full((n + 1, lpad), pad_val, dtype=np.int8)
+    m = _canon_src(n + 1)
+    seqs = np.full((m, lpad), pad_val, dtype=np.int8)
     if n:
         seqs[:n, : db.seqs.shape[1]] = db.seqs
-    cnt = np.empty(n + 1, dtype=np.float32)
+    cnt = np.zeros(m, dtype=np.float32)
     cnt[:n] = db.counts
-    cnt[-1] = 0.0
     order_full = np.full(npad, n, dtype=np.int32)
     order_full[:n] = order
     dev = jax.device_put
     a, b = _gather_derive_fn(pad_val)(
         dev(seqs),
-        dev(_shrink(db.lengths, -1)),
-        dev(_shrink(db.v_no, -1)),
-        dev(_shrink(db.j_no, -1)),
-        dev(_shrink(db.rep_no, -1)),
+        dev(_shrink(db.lengths, -1, m)),
+        dev(_shrink(db.v_no, -1, m)),
+        dev(_shrink(db.j_no, -1, m)),
+        dev(_shrink(db.rep_no, -1, m)),
         dev(cnt),
         dev(order_full),
     )
@@ -500,8 +747,44 @@ def dense_matrix_pallas(
     r2p: int,
     interpret: bool = False,
 ):
-    """Run the dense accumulation over a worklist (element starts,
-    converted to block indices here) with the Pallas kernel."""
+    """Run the dense accumulation over an (unpadded) worklist of
+    element starts with the Pallas kernel, chunked to keep the
+    scalar-prefetch arrays within SMEM; per-chunk partial matrices are
+    summed."""
+    lpad = a_dev["seqs"].shape[1]
+    npad_a = a_dev["seqs"].shape[0]
+    npad_b = b_dev["seqsT"].shape[1]
+    acc = None
+    for chunk, _c in _chunk_worklist(
+        work, tile_m, tile_n, npad_a, npad_b, 64
+    ):
+        part = _dense_pallas_chunk(
+            a_dev, b_dev, chunk,
+            differences=differences, indels=indels,
+            ignore_genes=ignore_genes, score_int=score_int,
+            ignore_counts=ignore_counts, tile_m=tile_m, tile_n=tile_n,
+            r1p=r1p, r2p=r2p, interpret=interpret,
+        )
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _dense_pallas_chunk(
+    a_dev: dict,
+    b_dev: dict,
+    work: np.ndarray,
+    *,
+    differences: int,
+    indels: bool,
+    ignore_genes: bool,
+    score_int: int,
+    ignore_counts: bool,
+    tile_m: int,
+    tile_n: int,
+    r1p: int,
+    r2p: int,
+    interpret: bool = False,
+):
     lpad = a_dev["seqs"].shape[1]
     rows = (work[:, 0] // tile_m).astype(np.int32)
     cols = (work[:, 1] // tile_n).astype(np.int32)

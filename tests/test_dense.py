@@ -93,8 +93,12 @@ def test_device_derivations_match_host_pack(dbs):
     np.testing.assert_array_equal(key, p.key)
     np.testing.assert_array_equal(order, p.orig[: d1.n])
 
-    seqs, rseqs, lens, v, j, orig = (
-        np.asarray(x) for x in device_rows_raw(d1, order, npad, lmax)
+    rows, pa, pb = device_rows_raw(d1, order, npad, lmax)
+    seqs, rseqs, lens, v, j, orig = (np.asarray(x) for x in rows)
+    np.testing.assert_array_equal(np.asarray(pa["seqs"]), seqs)
+    np.testing.assert_array_equal(np.asarray(pb["seqsT"]).T, seqs)
+    np.testing.assert_array_equal(
+        np.asarray(pa["orig"]).ravel(), orig
     )
     n = d1.n
     np.testing.assert_array_equal(seqs[:n], p.seqs[:n])
@@ -123,3 +127,107 @@ def test_device_derivations_match_host_pack(dbs):
         np.asarray(dev["b"]["cnt"]).ravel()[:n],
         p.counts[:n].astype(np.float32),
     )
+
+
+def test_mxu_codes_match_elementwise(dbs):
+    """The MXU one-hot-matmul distance formulation used on TPU must
+    produce identical codes/counts to the elementwise VPU one."""
+    import jax.numpy as jnp
+
+    from compairr_tpu.ops.engine import (
+        MatchSpec,
+        _count_fn,
+        _extract_fn,
+        pack_set,
+        pad_worklist_n,
+        build_worklist,
+    )
+    import jax
+
+    d1, d2 = dbs
+    for d, indels in [(0, False), (1, True), (2, False)]:
+        spec = MatchSpec(differences=d, indels=indels, ignore_genes=False)
+        lmax = int(max(d1.longest, d2.longest))
+        a = pack_set(d1, lmax, 128, True)
+        b = pack_set(d2, lmax, 128, True)
+        work = pad_worklist_n(
+            build_worklist(a, b, spec, 128, 128), a.np_, b.np_, 128, 128
+        )
+        dev = jax.device_put
+        a_args = (dev(a.seqs), dev(a.rseqs), dev(a.lengths), dev(a.v),
+                  dev(a.j), dev(a.orig))
+        b_args = (dev(b.seqs), dev(b.rseqs), dev(b.lengths), dev(b.v),
+                  dev(b.j), dev(b.orig))
+        w = jnp.asarray(work)
+        c0 = np.asarray(_count_fn(spec, 128, 128, False)(*a_args, *b_args, w))
+        c1 = np.asarray(_count_fn(spec, 128, 128, True)(*a_args, *b_args, w))
+        np.testing.assert_array_equal(c0, c1)
+        slab = jnp.asarray(work[:256]) if len(work) >= 256 else jnp.asarray(
+            np.concatenate([work, np.repeat(work[-1:], 256 - len(work), axis=0)])
+        )
+        i0, v0, n0 = _extract_fn(spec, 128, 128, 256, 1 << 17, False)(
+            *a_args, *b_args, slab
+        )
+        i1, v1, n1 = _extract_fn(spec, 128, 128, 256, 1 << 17, True)(
+            *a_args, *b_args, slab
+        )
+        assert int(n0) == int(n1)
+        np.testing.assert_array_equal(
+            np.asarray(i0)[: int(n0)], np.asarray(i1)[: int(n1)]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(v0)[: int(n0)], np.asarray(v1)[: int(n1)]
+        )
+
+
+@pytest.mark.parametrize(
+    "d,indels,xself", [(0, False, False), (1, True, False), (2, False, True)]
+)
+def test_pallas_count_kernel_matches_xla(dbs, d, indels, xself):
+    """The Pallas per-tile count kernel (interpret mode on CPU) must
+    agree with the XLA scan counts tile by tile."""
+    import jax
+    import jax.numpy as jnp
+
+    from compairr_tpu.ops.engine import (
+        MatchSpec,
+        _count_fn,
+        _round_up,
+        pack_keys,
+        pad_worklist_n,
+        worklist_from_keys,
+    )
+    from compairr_tpu.ops.pallas_kernels import (
+        count_tiles_pallas,
+        device_rows_raw,
+    )
+
+    d1, d2 = dbs
+    spec = MatchSpec(
+        differences=d, indels=indels, ignore_genes=False,
+        exclude_self=xself,
+    )
+    lmax = _round_up(int(max(d1.longest, d2.longest)), 8)
+    oa, ka, na = pack_keys(d1, 128, True)
+    ob, kb, nb = pack_keys(d2, 128, True)
+    ra, pa, _ = device_rows_raw(d1, oa, na, lmax)
+    rb, _, pb = device_rows_raw(d2, ob, nb, lmax)
+    delta = 1 if (indels and d == 1) else 0
+    work = pad_worklist_n(
+        worklist_from_keys(ka, d1.n, kb, d2.n, delta, 128, 128),
+        na, nb, 128, 128,
+    )
+    c_xla = np.asarray(
+        _count_fn(spec, 128, 128)(*ra, *rb, jnp.asarray(work))
+    )
+    c_pal = np.asarray(
+        count_tiles_pallas(
+            pa, pb, work,
+            differences=d, indels=indels and d == 1,
+            ignore_genes=False, exclude_self=xself,
+            tile_m=128, tile_n=128, interpret=True,
+        )
+    ).ravel()
+    np.testing.assert_array_equal(c_xla, c_pal)
+    if d >= 1:
+        assert c_xla.sum() > 0
