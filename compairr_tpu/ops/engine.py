@@ -240,21 +240,24 @@ def worklist_from_keys(
     if n_a == 0 or n_b == 0:
         return np.zeros((0, 2), dtype=np.int32)
     kb = keys_b[:n_b]
-    row_starts = np.arange(0, n_a, tile_m)
+    row_starts = np.arange(0, n_a, tile_m, dtype=np.int64)
     row_ends = np.minimum(row_starts + tile_m, n_a) - 1
     lo_keys = keys_a[row_starts] - delta
     hi_keys = keys_a[row_ends] + delta
     los = np.searchsorted(kb, lo_keys, side="left")
     his = np.searchsorted(kb, hi_keys, side="right")
-    starts = []
-    for ra, lo, hi in zip(row_starts, los, his):
-        if hi <= lo:
-            continue
-        for rb in range((int(lo) // tile_n) * tile_n, int(hi), tile_n):
-            starts.append((ra, rb))
-    return np.asarray(starts, dtype=np.int32) if starts else np.zeros(
-        (0, 2), dtype=np.int32
-    )
+    t0 = los // tile_n
+    t1 = -(-his // tile_n)  # exclusive end in tile units
+    per_row = np.where(his > los, t1 - t0, 0)
+    total = int(per_row.sum())
+    if total == 0:
+        return np.zeros((0, 2), dtype=np.int32)
+    out = np.empty((total, 2), dtype=np.int32)
+    out[:, 0] = np.repeat(row_starts, per_row).astype(np.int32)
+    offs = np.cumsum(per_row) - per_row
+    ramp = np.arange(total, dtype=np.int64) - np.repeat(offs, per_row)
+    out[:, 1] = ((np.repeat(t0, per_row) + ramp) * tile_n).astype(np.int32)
+    return out
 
 
 def build_worklist(
