@@ -676,6 +676,7 @@ def _count_fn(spec: MatchSpec, tile_m: int, tile_n: int,
 
 S_EXTRACT = 2048  # tiles per extraction dispatch
 K_EXTRACT = 1 << 15  # match-word capacity per extraction dispatch
+K_EXTRACT_BIG = 1 << 18  # capacity for match-dense workloads
 
 
 @lru_cache(maxsize=None)
@@ -790,21 +791,26 @@ def find_pairs(
         lmax = _round_up(lmax, 8)
     by_vjl = not spec.ignore_genes
     delta = 1 if (spec.indels and spec.differences == 1) else 0
+    # bigger tiles for huge inputs: the Pallas count kernel's cost is
+    # dominated by per-program overhead (~1-3us/tile incl. block DMAs);
+    # 512x512 tiles cut the program count 16x at a modest padding cost
+    tile = TILE_M if max(db1.n, db2.n) <= 2_000_000 or not on_tpu else 512
+    s_extract = max(64, S_EXTRACT * (TILE_M * TILE_N) // (tile * tile))
 
     a_args, pa_a, _pb_a, orig_a, key_a, npad_a = _sparse_inputs(
-        db1, TILE_M, by_vjl, lmax, on_tpu
+        db1, tile, by_vjl, lmax, on_tpu
     )
-    if db2 is db1 and TILE_M == TILE_N:
+    if db2 is db1:
         b_args, pb_b, orig_b, key_b, npad_b = (
             a_args, _pb_a, orig_a, key_a, npad_a
         )
     else:
         b_args, _pa_b, pb_b, orig_b, key_b, npad_b = _sparse_inputs(
-            db2, TILE_N, by_vjl, lmax, on_tpu
+            db2, tile, by_vjl, lmax, on_tpu
         )
 
     work = worklist_from_keys(
-        key_a, db1.n, key_b, db2.n, delta, TILE_M, TILE_N
+        key_a, db1.n, key_b, db2.n, delta, tile, tile
     )
     w = len(work)
 
@@ -815,7 +821,7 @@ def find_pairs(
     out2: list[np.ndarray] = []
 
     if w:
-        dummy = np.array([[npad_a - TILE_M, npad_b - TILE_N]], dtype=np.int32)
+        dummy = np.array([[npad_a - tile, npad_b - tile]], dtype=np.int32)
 
         # phase 1: per-tile match counts; drop empty tiles and use the
         # exact counts to bound each extraction dispatch's record
@@ -832,12 +838,12 @@ def find_pairs(
                 indels=spec.indels and spec.differences == 1,
                 ignore_genes=spec.ignore_genes,
                 exclude_self=spec.exclude_self,
-                tile_m=TILE_M, tile_n=TILE_N,
+                tile_m=tile, tile_n=tile,
             )
         else:
-            cand = pad_worklist_n(work, npad_a, npad_b, TILE_M, TILE_N)
+            cand = pad_worklist_n(work, npad_a, npad_b, tile, tile)
             counts = np.asarray(
-                _count_fn(spec, TILE_M, TILE_N)(
+                _count_fn(spec, tile, tile)(
                     *a_args, *b_args, jnp.asarray(cand)
                 )
             )
@@ -854,29 +860,61 @@ def find_pairs(
         # per-iteration one-hot build doesn't fuse; 0.25s vs 0.85s for
         # a 16k-tile count dispatch) — the MXU is the Pallas kernels'
         # domain.
-        run = _extract_fn(spec, TILE_M, TILE_N, S_EXTRACT, K_EXTRACT)
-        wpr = TILE_N // 32  # match-bit words per tile row
-        wpt = TILE_M * wpr  # words per tile
-        done = 0
+        # match-dense workloads (e.g. huge self-compares at d=0) fill
+        # the word buffer long before the tile bound; a bigger buffer
+        # costs download bytes but saves whole dispatches
+        k_cap = (
+            K_EXTRACT_BIG
+            if int(tile_counts.sum()) > (1 << 20) or tile > TILE_M
+            else K_EXTRACT
+        )
+        if on_tpu:
+            from .pallas_kernels import extract_tiles_pallas
+
+            def run_slab(slab):
+                return extract_tiles_pallas(
+                    pa_a, pb_b, slab,
+                    differences=spec.differences,
+                    indels=spec.indels and spec.differences == 1,
+                    ignore_genes=spec.ignore_genes,
+                    exclude_self=spec.exclude_self,
+                    tile_m=tile, tile_n=tile, k=k_cap,
+                )
+        else:
+            run = _extract_fn(spec, tile, tile, s_extract, k_cap)
+
+            def run_slab(slab):
+                return run(*a_args, *b_args, jnp.asarray(slab))
+
+        wpr = tile // 32  # match-bit words per tile row
+        wpt = tile * wpr  # words per tile
+
+        # dispatch every slab asynchronously first (device queues the
+        # work), then download: D2H transfers overlap the remaining
+        # slab compute instead of serialising one round trip per slab
+        pending = []
         s0 = 0
         while s0 < w:
             s1 = s0
             acc = 0
             while (
                 s1 < w
-                and s1 - s0 < S_EXTRACT
-                and acc + tile_counts[s1] <= K_EXTRACT
+                and s1 - s0 < s_extract
+                and acc + tile_counts[s1] <= k_cap
             ):
                 acc += tile_counts[s1]
                 s1 += 1
             slab = work[s0:s1]
             nreal = len(slab)
-            if nreal < S_EXTRACT:
+            if nreal < s_extract:
                 slab = np.concatenate(
-                    [slab, np.repeat(dummy, S_EXTRACT - nreal, axis=0)]
+                    [slab, np.repeat(dummy, s_extract - nreal, axis=0)]
                 )
-            widx, wvals, cnt = run(*a_args, *b_args, jnp.asarray(slab))
-            # one bulk D2H fetch; slice to the real record count on host
+            pending.append((slab, nreal, run_slab(slab)))
+            s0 = s1
+
+        done = 0
+        for slab, nreal, (widx, wvals, cnt) in pending:
             cnt = int(cnt)
             widx = np.asarray(widx)[:cnt].astype(np.int64)
             wvals = np.asarray(wvals)[:cnt].astype(np.uint32)
@@ -894,7 +932,6 @@ def find_pairs(
                         out1.append(orig_a[ra[sel] + mz[sel]])
                         out2.append(orig_b[rb[sel] + wc[sel] * 32 + b])
             done += nreal
-            s0 = s1
             if logger is not None and progress_prompt is not None:
                 logger.progress_update(done)
 

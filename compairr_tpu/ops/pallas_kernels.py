@@ -464,6 +464,202 @@ def _count_pallas_fn(
     return jax.jit(fn)
 
 
+def _make_extract_kernel(
+    *,
+    differences: int,
+    indels: bool,
+    ignore_genes: bool,
+    exclude_self: bool,
+    lpad: int,
+    tile_m: int,
+    tile_n: int,
+):
+    """Phase-2 kernel: per worklist tile, the match mask packed into
+    uint32 bit-words (32 columns per word). The packing runs on the
+    MXU as two exact f32 matmuls against constant bit-weight matrices
+    (weights <= 2^15, row sums < 2^24, so f32 arithmetic is exact);
+    lo|hi<<16 reassembles the 32-bit words."""
+    wpr = tile_n // 32
+
+    def kernel(
+        rows_ref,
+        cols_ref,
+        a_seq,
+        a_rseq,
+        a_len,
+        a_v,
+        a_j,
+        a_orig,
+        b_seq,
+        b_seqT,
+        b_rseqT,
+        b_len,
+        b_v,
+        b_j,
+        b_orig,
+        out_ref,
+    ):
+        match, _ = _match_tile_pallas(
+            a_seq[:], a_rseq[:], a_len[:], a_v[:], a_j[:],
+            b_seq[:], b_seqT[:], b_rseqT[:], b_len[:], b_v[:], b_j[:],
+            differences=differences, indels=indels,
+            ignore_genes=ignore_genes, lpad=lpad,
+            tile_m=tile_m, tile_n=tile_n,
+        )
+        if exclude_self:
+            match = match & (a_orig[:] != b_orig[:])
+        mf = match.astype(jnp.float32)  # [TM, TN]
+        lane = lax.broadcasted_iota(jnp.int32, (tile_n, wpr), 0)
+        word = lax.broadcasted_iota(jnp.int32, (tile_n, wpr), 1)
+        bit = lane % 32
+        sel = (lane // 32) == word
+        pow_lo = jnp.exp2(bit.astype(jnp.float32))
+        pow_hi = jnp.exp2((bit - 16).astype(jnp.float32))
+        w_lo = jnp.where(sel & (bit < 16), pow_lo, 0.0)
+        w_hi = jnp.where(sel & (bit >= 16), pow_hi, 0.0)
+        lo = lax.dot_general(
+            mf, w_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        hi = lax.dot_general(
+            mf, w_hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # Mosaic lacks f32->u32 casts; go through i32 (values < 2^16)
+        lo_i = lo.astype(jnp.int32)
+        hi_i = hi.astype(jnp.int32)
+        words = (lo_i | (hi_i << 16)).astype(jnp.uint32)
+        out_ref[0] = words
+
+    return kernel
+
+
+@lru_cache(maxsize=None)
+def _extract_pallas_fn(
+    differences: int,
+    indels: bool,
+    ignore_genes: bool,
+    exclude_self: bool,
+    lpad: int,
+    tile_m: int,
+    tile_n: int,
+    n_tiles: int,
+    k: int,
+    interpret: bool = False,
+):
+    """Packed-word extraction for one slab: the Pallas kernel emits
+    [n_tiles, TM, TN/32] uint32 match words; the fused XLA epilogue
+    compacts the nonzero words into a fixed [k] record buffer — one
+    device dispatch, O(matched words) download."""
+    kernel = _make_extract_kernel(
+        differences=differences,
+        indels=indels,
+        ignore_genes=ignore_genes,
+        exclude_self=exclude_self,
+        lpad=lpad,
+        tile_m=tile_m,
+        tile_n=tile_n,
+    )
+    wpr = tile_n // 32
+
+    def a_spec(width):
+        return pl.BlockSpec(
+            (tile_m, width),
+            index_map=lambda i, rows, cols: (rows[i], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def bT_spec(height):
+        return pl.BlockSpec(
+            (height, tile_n),
+            index_map=lambda i, rows, cols: (0, cols[i]),
+            memory_space=pltpu.VMEM,
+        )
+
+    def b_row_spec(width):
+        return pl.BlockSpec(
+            (tile_n, width),
+            index_map=lambda i, rows, cols: (cols[i], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            a_spec(lpad),  # a_seq
+            a_spec(lpad),  # a_rseq
+            a_spec(1),  # a_len
+            a_spec(1),  # a_v
+            a_spec(1),  # a_j
+            a_spec(1),  # a_orig
+            b_row_spec(lpad),  # b_seq
+            bT_spec(lpad),  # b_seqT
+            bT_spec(lpad),  # b_rseqT
+            bT_spec(1),  # b_len
+            bT_spec(1),  # b_v
+            bT_spec(1),  # b_j
+            bT_spec(1),  # b_orig
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_m, wpr),
+            index_map=lambda i, rows, cols: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    pall = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles, tile_m, wpr), jnp.uint32
+        ),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def run(rows, cols, *args):
+        words = pall(rows, cols, *args)
+        flat = words.reshape(-1)
+        count = jnp.sum((flat != 0).astype(jnp.int32))
+        (idx,) = jnp.nonzero(flat, size=k, fill_value=0)
+        vals = jnp.take(flat, idx)
+        return idx.astype(jnp.int32), vals, count
+
+    return run
+
+
+def extract_tiles_pallas(
+    pa: dict,
+    pb: dict,
+    slab: np.ndarray,
+    *,
+    differences: int,
+    indels: bool,
+    ignore_genes: bool,
+    exclude_self: bool,
+    tile_m: int,
+    tile_n: int,
+    k: int,
+    interpret: bool = False,
+):
+    """Dispatch one padded extraction slab; returns device
+    (word_indices, word_bits, count)."""
+    lpad = pa["seqs"].shape[1]
+    fn = _extract_pallas_fn(
+        differences, indels, ignore_genes, exclude_self,
+        lpad, tile_m, tile_n, int(len(slab)), k, interpret,
+    )
+    rows = jnp.asarray((slab[:, 0] // tile_m).astype(np.int32))
+    cols = jnp.asarray((slab[:, 1] // tile_n).astype(np.int32))
+    return fn(
+        rows, cols,
+        pa["seqs"], pa["rseqs"], pa["len"], pa["v"], pa["j"], pa["orig"],
+        pb["seqs"], pb["seqsT"], pb["rseqsT"], pb["len"], pb["v"],
+        pb["j"], pb["orig"],
+    )
+
+
 MAX_TILES_PER_CALL = 1 << 16  # scalar-prefetch rows+cols must fit SMEM
 
 
@@ -533,24 +729,55 @@ def count_tiles_pallas(
     return np.concatenate([np.asarray(o)[:c] for o, c in outs])
 
 
+RES_PER_WORD = 6  # 5-bit residues per int32 word (values < 32)
+
+
+def _pack_residues(seqs_i8: np.ndarray) -> np.ndarray:
+    """Host half of the residue compression: 6 five-bit residues per
+    int32 word, cutting the dominant host->device transfer ~4x vs the
+    int8 layout at lmax 24. All residue codes (aa 0..20 incl. pad, nt
+    0..4) fit 5 bits."""
+    n, l = seqs_i8.shape
+    nw = -(-l // RES_PER_WORD)
+    grown = np.zeros((n, nw * RES_PER_WORD), dtype=np.uint32)
+    grown[:, :l] = seqs_i8.astype(np.uint32)
+    g = grown.reshape(n, nw, RES_PER_WORD)
+    packed = g[:, :, 0].copy()
+    for k in range(1, RES_PER_WORD):
+        packed |= g[:, :, k] << np.uint32(5 * k)
+    return packed.astype(np.int32)
+
+
+def _unpack_residues(packed, lmax: int):
+    """Device half: [N, nw] int32 -> [N, lmax] int8."""
+    npad, nw = packed.shape
+    shifts = (jnp.arange(RES_PER_WORD, dtype=jnp.int32) * 5).reshape(
+        1, 1, RES_PER_WORD
+    )
+    res = ((packed[:, :, None] >> shifts) & 31).astype(jnp.int8)
+    return res.reshape(npad, nw * RES_PER_WORD)[:, :lmax]
+
+
 @lru_cache(maxsize=None)
-def _gather_derive_fn(pad_val: int):
+def _gather_derive_fn(pad_val: int, lmax: int):
     """Device-side bucket sort + layout derivation from the raw
-    (unsorted) upload. The host only computes the argsort permutation;
-    every row gather, the per-row reversal, the transposes, and the
-    [Np,1]/[1,Np] scalar layouts happen on device. This keeps the
-    host->device transfer to the raw bytes and lets it overlap the
-    host-side key sort (the transfer over the TPU tunnel is the
-    end-to-end bottleneck, ~100 MB/s)."""
+    (unsorted) upload. The host only computes the argsort permutation
+    and the 5-bit residue packing; the row gather, residue unpack,
+    per-row reversal, transposes, and the [Np,1]/[1,Np] scalar layouts
+    happen on device. This keeps the host->device transfer minimal and
+    lets it overlap the host-side key sort (the transfer over the TPU
+    tunnel is the end-to-end bottleneck, 30-100 MB/s)."""
 
     @jax.jit
-    def f(seqs, lengths, v, j, rep, cnt, order):
+    def f(seqs_packed, lengths, v, j, rep, cnt, order):
         # raw arrays carry one trailing sentinel row/element (all-pad
         # sequence, length/v/j/rep = -1, count = 0); `order` maps every
         # padded output row to a source row, pads pointing at the
         # sentinel.
         npad = order.shape[0]
-        seqs_s = jnp.take(seqs, order, axis=0)
+        seqs_s = _unpack_residues(
+            jnp.take(seqs_packed, order, axis=0), lmax
+        )
         n, l = seqs_s.shape
         lengths_s = jnp.take(lengths.astype(jnp.int32), order)
         v_s = jnp.take(v.astype(jnp.int32), order)
@@ -591,16 +818,20 @@ def _gather_derive_fn(pad_val: int):
 
 
 @lru_cache(maxsize=None)
-def _gather_sparse_fn(pad_val: int):
+def _gather_sparse_fn(pad_val: int, lmax: int):
     """Sparse-path derive: the row-major layouts the XLA slab
     functions (engine._slab_fn/_count_fn) consume plus the
-    [Np,1]/[1,Np] layouts the Pallas count kernel consumes, all from
-    one raw upload."""
+    [Np,1]/[1,Np] layouts the Pallas count/extract kernels consume,
+    all from one raw (packed) upload. `orig` is derived on device from
+    the order permutation itself (pads point at the sentinel index, a
+    traced scalar), not uploaded."""
 
     @jax.jit
-    def f(seqs, lengths, v, j, orig, order):
+    def f(seqs_packed, lengths, v, j, sentinel, order):
         npad = order.shape[0]
-        seqs_s = jnp.take(seqs, order, axis=0)
+        seqs_s = _unpack_residues(
+            jnp.take(seqs_packed, order, axis=0), lmax
+        )
         n, l = seqs_s.shape
         lengths_s = jnp.take(lengths.astype(jnp.int32), order)
         pos = jnp.arange(l, dtype=jnp.int32)[None, :]
@@ -611,7 +842,7 @@ def _gather_sparse_fn(pad_val: int):
         ).astype(jnp.int8)
         v_s = jnp.take(v.astype(jnp.int32), order)
         j_s = jnp.take(j.astype(jnp.int32), order)
-        orig_s = jnp.take(orig.astype(jnp.int32), order)
+        orig_s = jnp.where(order >= sentinel, jnp.int32(-1), order)
         rows = (seqs_s, rseqs, lengths_s, v_s, j_s, orig_s)
         col = lambda x: x.reshape(npad, 1)
         row = lambda x: x.reshape(1, npad)
@@ -655,17 +886,15 @@ def device_rows_raw(db, order: np.ndarray, npad: int, lpad: int):
     seqs = np.full((m, lpad), pad_val, dtype=np.int8)
     if n:
         seqs[:n, : db.seqs.shape[1]] = db.seqs
-    orig = np.full(m, -1, dtype=np.int32)
-    orig[:n] = np.arange(n, dtype=np.int32)
     order_full = np.full(npad, n, dtype=np.int32)
     order_full[:n] = order
     dev = jax.device_put
-    return _gather_sparse_fn(pad_val)(
-        dev(seqs),
+    return _gather_sparse_fn(pad_val, lpad)(
+        dev(_pack_residues(seqs)),
         dev(_shrink(db.lengths, -1, m)),
         dev(_shrink(db.v_no, -1, m)),
         dev(_shrink(db.j_no, -1, m)),
-        dev(orig),
+        jnp.int32(n),
         dev(order_full),
     )
 
@@ -697,8 +926,8 @@ def device_args_raw(db, order: np.ndarray, npad: int, lpad: int) -> dict:
     order_full = np.full(npad, n, dtype=np.int32)
     order_full[:n] = order
     dev = jax.device_put
-    a, b = _gather_derive_fn(pad_val)(
-        dev(seqs),
+    a, b = _gather_derive_fn(pad_val, lpad)(
+        dev(_pack_residues(seqs)),
         dev(_shrink(db.lengths, -1, m)),
         dev(_shrink(db.v_no, -1, m)),
         dev(_shrink(db.j_no, -1, m)),

@@ -38,6 +38,37 @@ from ..ops.engine import (
 )
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host initialisation: one process per host, all chips of
+    all hosts form the global device mesh afterwards
+    (jax.distributed). Parameters default to the standard JAX
+    environment variables (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES,
+    JAX_PROCESS_ID) or the cluster auto-detection for TPU pods; a
+    single-process environment is a no-op. The reference has no
+    multi-node capability at all (SURVEY.md: pthreads only) — this is
+    the TPU-native replacement for its manual split-and-merge advice
+    (/root/reference/README.md:766-771)."""
+    import os
+
+    if (
+        coordinator_address is None
+        and num_processes is None
+        and process_id is None
+        and "JAX_COORDINATOR_ADDRESS" not in os.environ
+        and "COMPAIRR_DISTRIBUTED" not in os.environ
+    ):
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def _shard_packed(a: PackedSet, n_shards: int, tile_m: int):
     """Split a packed (length-sorted) set into n_shards row chunks of
     identical padded size; returns stacked [n_shards, chunk, ...]

@@ -231,3 +231,63 @@ def test_pallas_count_kernel_matches_xla(dbs, d, indels, xself):
     np.testing.assert_array_equal(c_xla, c_pal)
     if d >= 1:
         assert c_xla.sum() > 0
+
+
+@pytest.mark.parametrize(
+    "d,indels,xself", [(1, False, False), (1, True, True)]
+)
+def test_pallas_extract_kernel_matches_xla(dbs, d, indels, xself):
+    """The Pallas packed-word extraction kernel (interpret mode on
+    CPU) must agree with the XLA scan extraction record for record."""
+    import jax.numpy as jnp
+
+    from compairr_tpu.ops.engine import (
+        MatchSpec,
+        _extract_fn,
+        _round_up,
+        pack_keys,
+        pad_worklist_n,
+        worklist_from_keys,
+    )
+    from compairr_tpu.ops.pallas_kernels import (
+        device_rows_raw,
+        extract_tiles_pallas,
+    )
+
+    d1, d2 = dbs
+    spec = MatchSpec(
+        differences=d, indels=indels, ignore_genes=False,
+        exclude_self=xself,
+    )
+    lmax = _round_up(int(max(d1.longest, d2.longest)), 8)
+    oa, ka, na = pack_keys(d1, 128, True)
+    ob, kb, nb = pack_keys(d2, 128, True)
+    ra, pa, _ = device_rows_raw(d1, oa, na, lmax)
+    rb, _, pb = device_rows_raw(d2, ob, nb, lmax)
+    delta = 1 if (indels and d == 1) else 0
+    work = pad_worklist_n(
+        worklist_from_keys(ka, d1.n, kb, d2.n, delta, 128, 128),
+        na, nb, 128, 128,
+    )[:256]
+    if len(work) < 256:
+        work = np.concatenate(
+            [work, np.repeat(work[-1:], 256 - len(work), axis=0)]
+        )
+    k = 1 << 15
+    i0, v0, n0 = _extract_fn(spec, 128, 128, 256, k)(
+        *ra, *rb, jnp.asarray(work)
+    )
+    i1, v1, n1 = extract_tiles_pallas(
+        pa, pb, work,
+        differences=d, indels=indels and d == 1, ignore_genes=False,
+        exclude_self=xself, tile_m=128, tile_n=128, k=k,
+        interpret=True,
+    )
+    assert int(n0) == int(n1) and int(n0) > 0
+    np.testing.assert_array_equal(
+        np.asarray(i0)[: int(n0)], np.asarray(i1)[: int(n1)]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(v0)[: int(n0)].astype(np.uint32),
+        np.asarray(v1)[: int(n1)].astype(np.uint32),
+    )
