@@ -70,3 +70,27 @@ def matrix_cell_value(
 def fmt(value: float) -> str:
     """%.10lg formatting (overlap.cc:559,569,574)."""
     return f"{value:.10g}"
+
+
+def matrix_values(
+    matrix: np.ndarray,
+    score_int: int,
+    rows_are_reps: bool,
+    set1_count: np.ndarray,
+    set1_sq_count: np.ndarray,
+    set2_count: np.ndarray,
+    set2_sq_count: np.ndarray,
+) -> np.ndarray:
+    """Vectorised matrix_cell_value over the whole matrix (the
+    existence layout has sequence rows, so MH/Jaccard — matrix-mode
+    only — never apply there; rows_are_reps marks matrix mode)."""
+    if score_int == SCORE_MH and rows_are_reps:
+        lx = set1_sq_count / set1_count / set1_count
+        ly = set2_sq_count / set2_count / set2_count
+        xy = np.outer(set1_count.astype(np.float64), set2_count)
+        return (2.0 * matrix) / ((lx[:, None] + ly[None, :]) * xy)
+    if score_int == SCORE_JACCARD and rows_are_reps:
+        sa = set1_count.astype(np.float64)[:, None]
+        sb = set2_count.astype(np.float64)[None, :]
+        return matrix / (sa + sb - matrix)
+    return matrix

@@ -114,8 +114,91 @@ def load_library():
         fn.argtypes = [ct.c_void_p, ct.c_int32]
     lib.airr_result_free.argtypes = [ct.c_void_p]
 
+    for name in ("write_matrix_tsv", "write_threecol_tsv"):
+        if not hasattr(lib, name):
+            break
+    else:
+        lib.write_matrix_tsv.restype = ct.c_int
+        lib.write_matrix_tsv.argtypes = [
+            ct.c_int,
+            ct.POINTER(ct.c_double),
+            ct.c_int64,
+            ct.c_int64,
+            ct.POINTER(ct.c_char_p),
+            ct.c_char_p,
+        ]
+        lib.write_threecol_tsv.restype = ct.c_int
+        lib.write_threecol_tsv.argtypes = [
+            ct.c_int,
+            ct.POINTER(ct.c_double),
+            ct.c_int64,
+            ct.c_int64,
+            ct.POINTER(ct.c_char_p),
+            ct.POINTER(ct.c_char_p),
+            ct.c_char_p,
+        ]
+
     _LIB = lib
     return lib
+
+
+def _label_array(labels):
+    arr = (ct.c_char_p * max(len(labels), 1))()
+    for i, s in enumerate(labels):
+        arr[i] = s.encode("latin-1")
+    return arr
+
+
+def write_matrix_native(outfile, values, row_labels, header) -> bool:
+    """Stream a post-processed float64 matrix through the native
+    writer (exact fprintf %.10lg semantics,
+    /root/reference/src/overlap.cc:991-1039). Returns False when the
+    native library or a file descriptor is unavailable — callers fall
+    back to the Python writer."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "write_matrix_tsv"):
+        return False
+    try:
+        outfile.flush()
+        fd = outfile.fileno()
+    except (AttributeError, OSError, ValueError):
+        return False
+    values = np.ascontiguousarray(values, dtype=np.float64)
+    rc = lib.write_matrix_tsv(
+        fd,
+        values.ctypes.data_as(ct.POINTER(ct.c_double)),
+        values.shape[0],
+        values.shape[1],
+        _label_array(row_labels),
+        header.encode("latin-1") if header is not None else None,
+    )
+    return rc == 0
+
+
+def write_threecol_native(
+    outfile, values, row_labels, col_labels, header
+) -> bool:
+    """3-column layout twin of write_matrix_native
+    (overlap.cc:948-989)."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "write_threecol_tsv"):
+        return False
+    try:
+        outfile.flush()
+        fd = outfile.fileno()
+    except (AttributeError, OSError, ValueError):
+        return False
+    values = np.ascontiguousarray(values, dtype=np.float64)
+    rc = lib.write_threecol_tsv(
+        fd,
+        values.ctypes.data_as(ct.POINTER(ct.c_double)),
+        values.shape[0],
+        values.shape[1],
+        _label_array(row_labels),
+        _label_array(col_labels),
+        header.encode("latin-1") if header is not None else None,
+    )
+    return rc == 0
 
 
 def _np_from(ptr, count, dtype):

@@ -245,78 +245,55 @@ def overlap(
     # ---- write results (overlap.cc:944-1039) ----
     if not opt.no_matrix:
         assert matrix is not None
+        from ..core.score import matrix_values
+        from ..io.native import write_matrix_native, write_threecol_native
 
-        def cell(s: int, t: int) -> str:
-            return fmt(
-                matrix_cell_value(
-                    matrix[s, t],
-                    opt.score_int,
-                    s,
-                    t,
-                    stats1.count,
-                    stats1.sq_count,
-                    stats2.count,
-                    stats2.sq_count,
-                )
-            )
+        vals = matrix_values(
+            matrix, opt.score_int, opt.matrix,
+            stats1.count, stats1.sq_count, stats2.count, stats2.sq_count,
+        )
+        o2 = np.asarray(order2, dtype=np.int64)
+        col_ids = [d2.repertoire_ids[int(t)] for t in o2]
+        if opt.matrix:
+            o1 = np.asarray(order1, dtype=np.int64)
+            out_vals = vals[o1][:, o2]
+            row_labels = [d1.repertoire_ids[int(s)] for s in o1]
+        else:
+            out_vals = vals[:, o2]
+            row_labels = [d1.sequence_id_str(i) for i in range(n1)]
+        total = out_vals.shape[0] * out_vals.shape[1]
+        logger.progress_init("Writing results:  ", total)
 
         if opt.alternative:
-            if opt.matrix:
-                logger.progress_init("Writing results:  ", r1 * r2)
-                outfile.write("#repertoire_id_1\trepertoire_id_2\tmatches\n")
-                x = 0
-                for i in range(r1):
-                    s = int(order1[i])
-                    for jj in range(r2):
-                        t = int(order2[jj])
-                        outfile.write(
-                            f"{d1.repertoire_ids[s]}\t"
-                            f"{d2.repertoire_ids[t]}\t{cell(s, t)}\n"
-                        )
-                        x += 1
-                        logger.progress_update(x)
-            else:
-                logger.progress_init("Writing results:  ", n1 * r2)
-                outfile.write("#sequence_id_1\trepertoire_id_2\tmatches\n")
-                x = 0
-                for i in range(n1):
-                    for jj in range(r2):
-                        t = int(order2[jj])
-                        outfile.write(
-                            f"{d1.sequence_id_str(i)}\t"
-                            f"{d2.repertoire_ids[t]}\t{cell(i, t)}\n"
-                        )
-                        x += 1
-                        logger.progress_update(x)
-        else:
-            header = "#" + "".join(
-                "\t" + d2.repertoire_ids[int(order2[jj])] for jj in range(r2)
+            header = (
+                "#repertoire_id_1\trepertoire_id_2\tmatches\n"
+                if opt.matrix
+                else "#sequence_id_1\trepertoire_id_2\tmatches\n"
             )
-            if opt.matrix:
-                logger.progress_init("Writing results:  ", r1 * r2)
-                outfile.write(header + "\n")
-                x = 0
-                for i in range(r1):
-                    s = int(order1[i])
-                    row = [d1.repertoire_ids[s]]
-                    for jj in range(r2):
-                        t = int(order2[jj])
-                        row.append(cell(s, t))
-                        x += 1
-                        logger.progress_update(x)
+            if not write_threecol_native(
+                outfile, out_vals, row_labels, col_ids, header
+            ):
+                outfile.write(header)
+                for i, label in enumerate(row_labels):
+                    for jj in range(out_vals.shape[1]):
+                        outfile.write(
+                            f"{label}\t{col_ids[jj]}\t"
+                            f"{fmt(out_vals[i, jj])}\n"
+                        )
+        else:
+            header = "#" + "".join("\t" + c for c in col_ids) + "\n"
+            if not write_matrix_native(
+                outfile, out_vals, row_labels, header
+            ):
+                outfile.write(header)
+                for i, label in enumerate(row_labels):
+                    row = [label]
+                    row.extend(
+                        fmt(out_vals[i, jj])
+                        for jj in range(out_vals.shape[1])
+                    )
                     outfile.write("\t".join(row) + "\n")
-            else:
-                logger.progress_init("Writing results:  ", n1 * r2)
-                outfile.write(header + "\n")
-                x = 0
-                for i in range(n1):
-                    row = [d1.sequence_id_str(i)]
-                    for jj in range(r2):
-                        t = int(order2[jj])
-                        row.append(cell(i, t))
-                        x += 1
-                        logger.progress_update(x)
-                    outfile.write("\t".join(row) + "\n")
+        logger.progress_update(total)
         logger.progress_done()
     else:
         logger.progress_init("Writing results:  ", 1)
