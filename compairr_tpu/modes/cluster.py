@@ -128,11 +128,12 @@ def cluster(opt: Options, logger: Logger, outfile: IO[str]) -> None:
         f"duplicate_count\tv_call\tj_call\t{opt.seq_header}\n"
     )
     written = 0
+    buf: list = []
     for out_no, c in enumerate(order, start=1):
         size = cluster_sizes[c]
         a = cluster_seeds[c]
         while a != NO:
-            outfile.write(
+            buf.append(
                 f"{out_no}\t{size}\t"
                 f"{d.repertoire_ids[d.rep_no[a]]}\t"
                 f"{d.sequence_id_str(a)}\t"
@@ -142,7 +143,12 @@ def cluster(opt: Options, logger: Logger, outfile: IO[str]) -> None:
             )
             written += 1
             a = int(nxt[a]) if nxt[a] != NO else NO
-            logger.progress_update(written)
+            if len(buf) >= (1 << 18):
+                outfile.write("".join(buf))
+                buf.clear()
+                logger.progress_update(written)
+    outfile.write("".join(buf))
+    logger.progress_update(written)
     logger.progress_done()
 
     logger.write("\n")

@@ -64,15 +64,27 @@ def dedup(opt: Options, logger: Logger, outfile: IO[str]) -> SeqDB:
     first[groups[::-1]] = np.arange(n - 1, -1, -1)
 
     logger.progress_init("Writing output:   ", n)
-    for g in range(n_groups):
-        i = int(first[g])
-        line = [db.repertoire_ids[db.rep_no[i]], str(int(merged[g]))]
-        if not opt.ignore_genes:
-            line.append(db.v_name(i))
-            line.append(db.j_name(i))
-        line.append(db.sequence_str(i))
-        outfile.write("\t".join(line) + "\n")
-        logger.progress_update(g + 1)
+    chunk = 1 << 18
+    for g0 in range(0, n_groups, chunk):
+        gs = range(g0, min(g0 + chunk, n_groups))
+        if opt.ignore_genes:
+            outfile.write(
+                "".join(
+                    f"{db.repertoire_ids[db.rep_no[i]]}\t{int(merged[g])}\t"
+                    f"{db.sequence_str(i)}\n"
+                    for g, i in ((g, int(first[g])) for g in gs)
+                )
+            )
+        else:
+            outfile.write(
+                "".join(
+                    f"{db.repertoire_ids[db.rep_no[i]]}\t{int(merged[g])}\t"
+                    f"{db.v_name(i)}\t{db.j_name(i)}\t"
+                    f"{db.sequence_str(i)}\n"
+                    for g, i in ((g, int(first[g])) for g in gs)
+                )
+            )
+        logger.progress_update(min(g0 + chunk, n_groups))
     logger.progress_done()
 
     logger.write("\n")

@@ -92,34 +92,49 @@ def _write_pairs(
     idx2: np.ndarray,
     dist: np.ndarray,
 ) -> None:
-    # overlap.cc:455-507
+    # overlap.cc:455-507. Field strings are built once per distinct
+    # sequence and pairs stream out in chunked joins — the naive
+    # per-pair loop was ~15 Python ops/pair.
     keep = bool(opt.keep_columns_names)
-    for a, b, dd in zip(idx1, idx2, dist):
-        a = int(a)
-        b = int(b)
-        parts = [
-            d1.repertoire_ids[d1.rep_no[a]],
-            d1.sequence_id_str(a),
-            str(int(d1.counts[a])),
-            d1.v_name(a),
-            d1.j_name(a),
-            d1.sequence_str(a),
-        ]
-        if keep:
-            parts.append(d1.keep_str(a))
-        parts += [
-            d2.repertoire_ids[d2.rep_no[b]],
-            d2.sequence_id_str(b),
-            str(int(d2.counts[b])),
-            d2.v_name(b),
-            d2.j_name(b),
-            d2.sequence_str(b),
-        ]
-        if keep:
-            parts.append(d2.keep_str(b))
+
+    def blobs(db, idxs) -> dict:
+        out = {}
+        for a in np.unique(idxs):
+            a = int(a)
+            parts = [
+                db.repertoire_ids[db.rep_no[a]],
+                db.sequence_id_str(a),
+                str(int(db.counts[a])),
+                db.v_name(a),
+                db.j_name(a),
+                db.sequence_str(a),
+            ]
+            if keep:
+                parts.append(db.keep_str(a))
+            out[a] = "\t".join(parts)
+        return out
+
+    b1 = blobs(d1, idx1)
+    b2 = blobs(d2, idx2)
+    chunk = 1 << 20
+    for s0 in range(0, len(idx1), chunk):
+        i1 = idx1[s0 : s0 + chunk]
+        i2 = idx2[s0 : s0 + chunk]
         if opt.distance:
-            parts.append(str(int(dd)))
-        pairsfile.write("\t".join(parts) + "\n")
+            dd = dist[s0 : s0 + chunk]
+            pairsfile.write(
+                "".join(
+                    f"{b1[int(a)]}\t{b2[int(b)]}\t{int(x)}\n"
+                    for a, b, x in zip(i1, i2, dd)
+                )
+            )
+        else:
+            pairsfile.write(
+                "".join(
+                    f"{b1[int(a)]}\t{b2[int(b)]}\n"
+                    for a, b in zip(i1, i2)
+                )
+            )
 
 
 def overlap(
