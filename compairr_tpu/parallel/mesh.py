@@ -228,3 +228,127 @@ def dense_matrix_sharded(
     return acc[: db1.repertoire_count, : db2.repertoire_count].astype(
         np.float64
     )
+
+
+def dense_matrix_ring(
+    db1: SeqDB,
+    db2: SeqDB,
+    spec: MatchSpec,
+    score_int: int,
+    ignore_counts: bool,
+    devices: Optional[Sequence] = None,
+    tile_m: int = TILE_M,
+    tile_n: int = TILE_N,
+) -> np.ndarray:
+    """[R1, R2] overlap matrix with BOTH sets sharded: set-1 rows stay
+    resident per device, set-2 shards rotate around the ring with
+    lax.ppermute so every device sees every block — the TPU analogue
+    of the reference README's manual split-and-merge advice
+    (/root/reference/README.md:766-771) and the SNIPPETS.md ring
+    pattern. Per-device set-2 memory is 1/n of dense_matrix_sharded's
+    replicated copy; per-step compute overlaps the next block's
+    permute (XLA schedules the collective asynchronously)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n_shards = len(devices)
+    mesh = Mesh(np.asarray(devices), ("shard",))
+
+    lmax = int(max(db1.longest, db2.longest, 1))
+    by_vjl = not spec.ignore_genes
+    a = pack_set(db1, lmax, tile_m, by_vjl)
+    b = a if db2 is db1 and tile_m == tile_n else pack_set(
+        db2, lmax, tile_n, by_vjl
+    )
+
+    a_stacked, a_chunk, a_bounds = _shard_packed(a, n_shards, tile_m)
+    b_stacked, b_chunk, b_bounds = _shard_packed(b, n_shards, tile_n)
+
+    # worklists per (device k, ring step s): device k holds b-shard
+    # (k + s) % n at step s (ppermute shifts shards by one each step)
+    from ..ops.engine import worklist_from_keys
+
+    delta = 1 if (spec.indels and spec.differences == 1) else 0
+    lists = {}
+    wmax = 1
+    for k in range(n_shards):
+        alo, ahi = a_bounds[k]
+        for s in range(n_shards):
+            kb = (k + s) % n_shards
+            blo, bhi = b_bounds[kb]
+            wl = worklist_from_keys(
+                a_stacked["key"][k], ahi - alo,
+                b_stacked["key"][kb], bhi - blo,
+                delta, tile_m, tile_n,
+            )
+            lists[(k, s)] = wl
+            wmax = max(wmax, len(wl))
+    work = np.zeros((n_shards, n_shards, wmax, 2), dtype=np.int32)
+    work[:, :, :, 0] = a_chunk - tile_m  # dummy: the shard's pad tile
+    work[:, :, :, 1] = b_chunk - tile_n
+    for (k, s), wl in lists.items():
+        if len(wl):
+            work[k, s, : len(wl)] = wl
+
+    r1p = _round_up(max(db1.repertoire_count, 1), 8)
+    r2p = _round_up(max(db2.repertoire_count, 1), 128)
+    mxu = jax.default_backend() != "cpu"
+    spec_kw = dict(
+        differences=spec.differences,
+        indels=spec.indels and spec.differences == 1,
+        ignore_genes=spec.ignore_genes,
+    )
+    perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+
+    def per_shard(a_stack, b_stack, starts):
+        a_args = tuple(x[0] for x in a_stack)
+        b_args = tuple(x[0] for x in b_stack)
+        starts = starts[0]  # [n_steps, wmax, 2]
+
+        def ring_step(s, carry):
+            acc, b_cur = carry
+
+            def tile_step(acc2, st):
+                contrib = dense_tile_contrib(
+                    a_args, b_cur, st[0], st[1],
+                    spec_kw=spec_kw, score_int=score_int,
+                    ignore_counts=ignore_counts, r1p=r1p, r2p=r2p,
+                    tile_m=tile_m, tile_n=tile_n, mxu=mxu,
+                )
+                return acc2 + contrib, None
+
+            sts = lax.dynamic_index_in_dim(starts, s, keepdims=False)
+            acc, _ = lax.scan(tile_step, acc, (sts[:, 0], sts[:, 1]))
+            # rotate the set-2 shard to the next device
+            b_next = tuple(
+                lax.ppermute(x, "shard", perm) for x in b_cur
+            )
+            return acc, b_next
+
+        zeros = jnp.zeros((r1p, r2p), dtype=jnp.float32)
+        if hasattr(lax, "pcast"):
+            acc0 = lax.pcast(zeros, "shard", to="varying")
+        else:  # pragma: no cover - older jax
+            acc0 = lax.pvary(zeros, "shard")
+        acc, _ = lax.fori_loop(
+            0, n_shards, ring_step, (acc0, b_args)
+        )
+        return lax.psum(acc, "shard")
+
+    keys = ("seqs", "rseqs", "lengths", "v", "j", "rep", "counts")
+    a_stack = tuple(jnp.asarray(a_stacked[k]) for k in keys)
+    b_stack = tuple(jnp.asarray(b_stacked[k]) for k in keys)
+    fn = jax.jit(
+        jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(
+                tuple(P("shard") for _ in a_stack),
+                tuple(P("shard") for _ in b_stack),
+                P("shard"),
+            ),
+            out_specs=P(),
+        )
+    )
+    acc = np.asarray(fn(a_stack, b_stack, jnp.asarray(work)))
+    return acc[: db1.repertoire_count, : db2.repertoire_count].astype(
+        np.float64
+    )
