@@ -138,8 +138,43 @@ def load_library():
             ct.c_char_p,
         ]
 
+    if hasattr(lib, "cluster_bfs"):
+        lib.cluster_bfs.restype = ct.c_int64
+        lib.cluster_bfs.argtypes = [
+            ct.c_int64,
+            ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64),
+        ]
+
     _LIB = lib
     return lib
+
+
+def cluster_bfs_native(adj_start, dst, clusterid, nxt):
+    """Native single-linkage BFS (cluster.cc:279-417 semantics).
+    Mutates clusterid/nxt in place; returns (seeds, sizes) or None
+    when the native library is unavailable."""
+    if os.environ.get("COMPAIRR_NATIVE_IO") == "0":
+        return None
+    lib = load_library()
+    if lib is None or not hasattr(lib, "cluster_bfs"):
+        return None
+    n = len(clusterid)
+    seeds = np.empty(n, dtype=np.int64)
+    sizes = np.empty(n, dtype=np.int64)
+    p = lambda x: x.ctypes.data_as(ct.POINTER(ct.c_int64))
+    adj_start = np.ascontiguousarray(adj_start, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    if len(dst) == 0:
+        dst = np.zeros(1, dtype=np.int64)
+    k = lib.cluster_bfs(
+        n, p(adj_start), p(dst), p(clusterid), p(nxt), p(seeds), p(sizes)
+    )
+    return seeds[:k], sizes[:k]
 
 
 def _label_array(labels):

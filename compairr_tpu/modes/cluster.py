@@ -83,35 +83,45 @@ def cluster(opt: Options, logger: Logger, outfile: IO[str]) -> None:
     adj_start = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(deg, out=adj_start[1:])
 
-    # BFS via linked chain (cluster.cc:279-417)
+    # BFS via linked chain (cluster.cc:279-417); the C++ BFS is the
+    # same algorithm at native speed, the Python loop below is the
+    # executable specification and fallback
+    from ..io.native import cluster_bfs_native
+
     logger.progress_init("Clustering:       ", n)
     NO = -1
     clusterid = np.full(n, NO, dtype=np.int64)
     nxt = np.full(n, NO, dtype=np.int64)
-    cluster_seeds: list[int] = []
-    cluster_sizes: list[int] = []
-    x = 0
-    for seed in range(n):
-        if clusterid[seed] != NO:
-            continue
-        cid = len(cluster_seeds)
-        clusterid[seed] = cid
-        tail = seed
-        size = 0
-        member = seed
-        while member != NO:
-            size += 1
-            for e in range(adj_start[member], adj_start[member + 1]):
-                hit = dst[e]
-                if clusterid[hit] == NO:
-                    clusterid[hit] = cid
-                    nxt[tail] = hit
-                    tail = hit
-            x += 1
-            logger.progress_update(x)
-            member = nxt[member]
-        cluster_seeds.append(seed)
-        cluster_sizes.append(size)
+    native = cluster_bfs_native(adj_start, dst, clusterid, nxt)
+    if native is not None:
+        cluster_seeds = native[0].tolist()
+        cluster_sizes = native[1].tolist()
+        logger.progress_update(n)
+    else:
+        cluster_seeds = []
+        cluster_sizes = []
+        x = 0
+        for seed in range(n):
+            if clusterid[seed] != NO:
+                continue
+            cid = len(cluster_seeds)
+            clusterid[seed] = cid
+            tail = seed
+            size = 0
+            member = seed
+            while member != NO:
+                size += 1
+                for e in range(adj_start[member], adj_start[member + 1]):
+                    hit = dst[e]
+                    if clusterid[hit] == NO:
+                        clusterid[hit] = cid
+                        nxt[tail] = hit
+                        tail = hit
+                x += 1
+                logger.progress_update(x)
+                member = nxt[member]
+            cluster_seeds.append(seed)
+            cluster_sizes.append(size)
     logger.progress_done()
 
     clustercount = len(cluster_seeds)

@@ -758,6 +758,49 @@ def _unpack_residues(packed, lmax: int):
     return res.reshape(npad, nw * RES_PER_WORD)[:, :lmax]
 
 
+_DERIVE_CHUNK = 1 << 21  # rows per derive step: bounds int32 temps
+
+
+def _seqs_chunk(seqs_packed, lengths_c, order_c, pad_val: int, lmax: int):
+    """Gather + unpack + per-row reversal for one row chunk."""
+    seqs = _unpack_residues(jnp.take(seqs_packed, order_c, axis=0), lmax)
+    pos = jnp.arange(lmax, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(lengths_c[:, None] - 1 - pos, 0, lmax - 1)
+    rev = jnp.take_along_axis(seqs, idx, axis=1)
+    rseqs = jnp.where(
+        pos < lengths_c[:, None], rev, jnp.int8(pad_val)
+    ).astype(jnp.int8)
+    return seqs, rseqs
+
+
+def _gathered_seqs(seqs_packed, lengths_s, order, pad_val: int, lmax: int):
+    """Sorted residue matrices + reversed rows, derived in fixed-size
+    row chunks: the gather/unpack/reversal temporaries are int32
+    [rows, lmax], which at tens of millions of rows would otherwise
+    exceed HBM in one shot (the 24M-sequence OOM)."""
+    npad = order.shape[0]
+    if npad <= _DERIVE_CHUNK:
+        return _seqs_chunk(seqs_packed, lengths_s, order, pad_val, lmax)
+    c = _DERIVE_CHUNK
+    nchunks = -(-npad // c)
+
+    def body(i, bufs):
+        sb, rb = bufs
+        start = jnp.minimum(i * c, npad - c)
+        o = lax.dynamic_slice_in_dim(order, start, c)
+        lens = lax.dynamic_slice_in_dim(lengths_s, start, c)
+        s, r = _seqs_chunk(seqs_packed, lens, o, pad_val, lmax)
+        sb = lax.dynamic_update_slice(sb, s, (start, 0))
+        rb = lax.dynamic_update_slice(rb, r, (start, 0))
+        return sb, rb
+
+    init = (
+        jnp.zeros((npad, lmax), jnp.int8),
+        jnp.zeros((npad, lmax), jnp.int8),
+    )
+    return lax.fori_loop(0, nchunks, body, init)
+
+
 @lru_cache(maxsize=None)
 def _gather_derive_fn(pad_val: int, lmax: int):
     """Device-side bucket sort + layout derivation from the raw
@@ -775,22 +818,14 @@ def _gather_derive_fn(pad_val: int, lmax: int):
         # padded output row to a source row, pads pointing at the
         # sentinel.
         npad = order.shape[0]
-        seqs_s = _unpack_residues(
-            jnp.take(seqs_packed, order, axis=0), lmax
-        )
-        n, l = seqs_s.shape
         lengths_s = jnp.take(lengths.astype(jnp.int32), order)
         v_s = jnp.take(v.astype(jnp.int32), order)
         j_s = jnp.take(j.astype(jnp.int32), order)
         rep_s = jnp.take(rep.astype(jnp.int32), order)
         cnt_s = jnp.take(cnt.astype(jnp.float32), order)
-
-        pos = jnp.arange(l, dtype=jnp.int32)[None, :]
-        idx = jnp.clip(lengths_s[:, None] - 1 - pos, 0, l - 1)
-        rev = jnp.take_along_axis(seqs_s, idx, axis=1)
-        rseqs = jnp.where(
-            pos < lengths_s[:, None], rev, jnp.int8(pad_val)
-        ).astype(jnp.int8)
+        seqs_s, rseqs = _gathered_seqs(
+            seqs_packed, lengths_s, order, pad_val, lmax
+        )
         col = lambda x: x.reshape(npad, 1)
         row = lambda x: x.reshape(1, npad)
         a = dict(
@@ -829,17 +864,10 @@ def _gather_sparse_fn(pad_val: int, lmax: int):
     @jax.jit
     def f(seqs_packed, lengths, v, j, sentinel, order):
         npad = order.shape[0]
-        seqs_s = _unpack_residues(
-            jnp.take(seqs_packed, order, axis=0), lmax
-        )
-        n, l = seqs_s.shape
         lengths_s = jnp.take(lengths.astype(jnp.int32), order)
-        pos = jnp.arange(l, dtype=jnp.int32)[None, :]
-        idx = jnp.clip(lengths_s[:, None] - 1 - pos, 0, l - 1)
-        rev = jnp.take_along_axis(seqs_s, idx, axis=1)
-        rseqs = jnp.where(
-            pos < lengths_s[:, None], rev, jnp.int8(pad_val)
-        ).astype(jnp.int8)
+        seqs_s, rseqs = _gathered_seqs(
+            seqs_packed, lengths_s, order, pad_val, lmax
+        )
         v_s = jnp.take(v.astype(jnp.int32), order)
         j_s = jnp.take(j.astype(jnp.int32), order)
         orig_s = jnp.where(order >= sentinel, jnp.int32(-1), order)

@@ -291,3 +291,34 @@ def test_pallas_extract_kernel_matches_xla(dbs, d, indels, xself):
         np.asarray(v0)[: int(n0)].astype(np.uint32),
         np.asarray(v1)[: int(n1)].astype(np.uint32),
     )
+
+
+def test_chunked_derive_matches_host_pack(dbs, monkeypatch):
+    """The fori_loop chunked derive (used above _DERIVE_CHUNK rows to
+    bound HBM temporaries) must produce the same layouts as the
+    single-shot branch."""
+    import compairr_tpu.ops.pallas_kernels as P
+    from compairr_tpu.ops.engine import pack_keys, pack_set
+
+    d1, _ = dbs
+    monkeypatch.setattr(P, "_DERIVE_CHUNK", 64)
+    # the derive fns are lru_cached on (pad_val, lmax); force a fresh
+    # trace so the patched chunk size takes effect
+    P._gather_sparse_fn.cache_clear()
+    P._gather_derive_fn.cache_clear()
+    lmax = int(d1.longest)
+    p = pack_set(d1, lmax, 128, by_vjl=True)
+    order, _key, npad = pack_keys(d1, 128, by_vjl=True)
+    rows, pa, pb = P.device_rows_raw(d1, order, npad, lmax)
+    seqs, rseqs, lens, v, j, orig = (np.asarray(x) for x in rows)
+    n = d1.n
+    np.testing.assert_array_equal(seqs[:n], p.seqs[:n])
+    np.testing.assert_array_equal(rseqs[:n], p.rseqs[:n])
+    np.testing.assert_array_equal(orig[:n], p.orig[:n])
+    dev = P.device_args_raw(d1, order, npad, lmax)
+    np.testing.assert_array_equal(
+        np.asarray(dev["b"]["rseqsT"]).T[:n], p.rseqs[:n]
+    )
+    monkeypatch.undo()
+    P._gather_sparse_fn.cache_clear()
+    P._gather_derive_fn.cache_clear()

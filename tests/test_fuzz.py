@@ -126,3 +126,23 @@ def _one_trial(tmp_path, it: int) -> None:
 @pytest.mark.parametrize("it", range(8))
 def test_fuzz_trial(tmp_path, it):
     _one_trial(tmp_path, it)
+
+
+def test_cluster_native_bfs_matches_python(tmp_path):
+    """Cluster output is identical with the native BFS and the Python
+    fallback (COMPAIRR_NATIVE_IO=0 disables all native paths)."""
+    a = make_tsv(str(tmp_path / "a.tsv"), 500, 4, seed=901, alphabet_sub=5)
+    outs = []
+    for native in ("1", "0"):
+        out = tmp_path / f"c{native}.tsv"
+        r = subprocess.run(
+            [sys.executable, "-m", "compairr_tpu", "-c", "-d", "1", "-i",
+             a, "-o", str(out)],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={**os.environ, "PYTHONPATH": "/root/repo",
+                 "COMPAIRR_NATIVE_IO": native},
+        )
+        assert r.returncode == 0, r.stderr
+        outs.append(out.read_text())
+    assert outs[0] == outs[1]
+    assert outs[0].count("\n") > 400
