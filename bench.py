@@ -124,8 +124,8 @@ def main():
         lmax = _round_up(max(d1.longest, d2.longest), 8)
         order_a, key_a, npad_a = pack_keys(d1, tile, True)
         order_b, key_b, npad_b = pack_keys(d2, tile, True)
-        da = device_args_raw(d1, order_a, npad_a, lmax)
-        db = device_args_raw(d2, order_b, npad_b, lmax)
+        da = device_args_raw(d1, order_a, npad_a, lmax, indels=False)
+        db = device_args_raw(d2, order_b, npad_b, lmax, indels=False)
         work = worklist_from_keys(key_a, d1.n, key_b, d2.n, 0, tile, tile)
         kw = dict(
             differences=2, indels=False, ignore_genes=False,

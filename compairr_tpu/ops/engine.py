@@ -572,13 +572,14 @@ def dense_matrix(
         # on device, keep only the argsort + key vector on host.
         from .pallas_kernels import dense_matrix_pallas, device_args_raw
 
+        use_indels = spec.indels and spec.differences == 1
         order_a, key_a, npad_a = pack_keys(db1, tile_m, by_vjl)
-        da = device_args_raw(db1, order_a, npad_a, lmax)
+        da = device_args_raw(db1, order_a, npad_a, lmax, use_indels)
         if db2 is db1 and tile_m == tile_n:
             key_b, npad_b, db_dev = key_a, npad_a, da
         else:
             order_b, key_b, npad_b = pack_keys(db2, tile_n, by_vjl)
-            db_dev = device_args_raw(db2, order_b, npad_b, lmax)
+            db_dev = device_args_raw(db2, order_b, npad_b, lmax, use_indels)
         work = worklist_from_keys(
             key_a, db1.n, key_b, db2.n, delta, tile_m, tile_n
         )
@@ -752,7 +753,7 @@ def _pair_distances(
 
 
 def _sparse_inputs(db: SeqDB, tile: int, by_vjl: bool, lmax: int,
-                   on_tpu: bool):
+                   on_tpu: bool, indels: bool = True):
     """Device args + host metadata for the sparse path. On TPU the raw
     arrays are uploaded immediately (async, overlapping the host key
     sort) and rows are gathered/reversed on device; on CPU the packed
@@ -763,10 +764,10 @@ def _sparse_inputs(db: SeqDB, tile: int, by_vjl: bool, lmax: int,
         from .pallas_kernels import device_rows_raw
 
         order, key, npad = pack_keys(db, tile, by_vjl)
-        args, pa, pb = device_rows_raw(db, order, npad, lmax)
+        pa, pb = device_rows_raw(db, order, npad, lmax, indels)
         orig = np.full(npad, -1, dtype=np.int64)
         orig[: db.n] = order
-        return args, pa, pb, orig, key, npad
+        return None, pa, pb, orig, key, npad
     p = pack_set(db, lmax, tile, by_vjl)
     dev = jax.device_put
     args = (dev(p.seqs), dev(p.rseqs), dev(p.lengths), dev(p.v),
@@ -797,8 +798,9 @@ def find_pairs(
     tile = TILE_M if max(db1.n, db2.n) <= 2_000_000 or not on_tpu else 512
     s_extract = max(64, S_EXTRACT * (TILE_M * TILE_N) // (tile * tile))
 
+    use_indels = spec.indels and spec.differences == 1
     a_args, pa_a, _pb_a, orig_a, key_a, npad_a = _sparse_inputs(
-        db1, tile, by_vjl, lmax, on_tpu
+        db1, tile, by_vjl, lmax, on_tpu, use_indels
     )
     if db2 is db1:
         b_args, pb_b, orig_b, key_b, npad_b = (
@@ -806,7 +808,7 @@ def find_pairs(
         )
     else:
         b_args, _pa_b, pb_b, orig_b, key_b, npad_b = _sparse_inputs(
-            db2, tile, by_vjl, lmax, on_tpu
+            db2, tile, by_vjl, lmax, on_tpu, use_indels
         )
 
     work = worklist_from_keys(

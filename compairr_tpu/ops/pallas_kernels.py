@@ -51,6 +51,16 @@ def _onehot(seq_i8, nclass: int):
     return (rep.astype(jnp.int32) == cls).astype(jnp.int8)
 
 
+@lru_cache(maxsize=None)
+def _dummy_i8(shape: tuple):
+    """Tiny placeholder block for kernel inputs that are compile-time
+    unused (the reversed/transposed residue matrices when indels are
+    off) — their BlockSpecs use a constant (0, 0) index map, so only
+    this one block ever loads. Saves deriving and keeping [N, Lmax]
+    transposes resident (~1.8 GB at 24M sequences)."""
+    return jax.device_put(np.zeros(shape, np.int8))
+
+
 def _score_tile(ca, cb, score_int: int, ignore_counts: bool):
     """Per-pair score g(count_a, count_b); ca is [TM, 1], cb [1, TN]
     (compute_score, /root/reference/src/overlap.cc:144-166)."""
@@ -176,18 +186,18 @@ def _make_kernel(
             out_ref[:] = jnp.zeros_like(out_ref)
 
         match, _ = _match_tile_pallas(
-            a_seq[:], a_rseq[:], a_len[:], a_v[:], a_j[:],
+            a_seq[:], a_rseq[:], a_len[:].T, a_v[:].T, a_j[:].T,
             b_seq[:], b_seqT[:], b_rseqT[:], b_len[:], b_v[:], b_j[:],
             differences=differences, indels=indels,
             ignore_genes=ignore_genes, lpad=lpad,
             tile_m=tile_m, tile_n=tile_n,
         )
 
-        g = _score_tile(a_cnt[:], b_cnt[:], score_int, ignore_counts)
+        g = _score_tile(a_cnt[:].T, b_cnt[:], score_int, ignore_counts)
         sc = jnp.where(match, g, 0.0)
 
         oh1 = (
-            a_rep[:] == lax.broadcasted_iota(jnp.int32, (tile_m, r1p), 1)
+            a_rep[:].T == lax.broadcasted_iota(jnp.int32, (tile_m, r1p), 1)
         ).astype(jnp.float32)
         # oh2 transposed ([r2p, TN]) so it builds from the [1, TN]
         # repertoire row without any lane->sublane transpose
@@ -259,20 +269,43 @@ def _dense_pallas_fn(
             memory_space=pltpu.VMEM,
         )
 
+    def a_dummy(width):
+        return pl.BlockSpec(
+            (tile_m, width),
+            index_map=lambda i, rows, cols: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def bT_dummy(height):
+        return pl.BlockSpec(
+            (height, tile_n),
+            index_map=lambda i, rows, cols: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def aT_spec(height):
+        # a-side scalars live as [1, N] rows (see _gather_derive_fn);
+        # the kernel transposes the (1, TM) block in VMEM
+        return pl.BlockSpec(
+            (height, tile_m),
+            index_map=lambda i, rows, cols: (0, rows[i]),
+            memory_space=pltpu.VMEM,
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
             a_spec(lpad),  # a_seq
-            a_spec(lpad),  # a_rseq
-            a_spec(1),  # a_len
-            a_spec(1),  # a_v
-            a_spec(1),  # a_j
-            a_spec(1),  # a_rep
-            a_spec(1),  # a_cnt
+            a_spec(lpad) if indels else a_dummy(lpad),  # a_rseq
+            aT_spec(1),  # a_len
+            aT_spec(1),  # a_v
+            aT_spec(1),  # a_j
+            aT_spec(1),  # a_rep
+            aT_spec(1),  # a_cnt
             b_spec(lpad),  # b_seq
-            bT_spec(lpad),  # b_seqT
-            bT_spec(lpad),  # b_rseqT
+            bT_spec(lpad) if indels else bT_dummy(lpad),  # b_seqT
+            bT_spec(lpad) if indels else bT_dummy(lpad),  # b_rseqT
             bT_spec(1),  # b_len
             bT_spec(1),  # b_v
             bT_spec(1),  # b_j
@@ -366,14 +399,14 @@ def _make_count_kernel(
         out_ref,
     ):
         match, _ = _match_tile_pallas(
-            a_seq[:], a_rseq[:], a_len[:], a_v[:], a_j[:],
+            a_seq[:], a_rseq[:], a_len[:].T, a_v[:].T, a_j[:].T,
             b_seq[:], b_seqT[:], b_rseqT[:], b_len[:], b_v[:], b_j[:],
             differences=differences, indels=indels,
             ignore_genes=ignore_genes, lpad=lpad,
             tile_m=tile_m, tile_n=tile_n,
         )
         if exclude_self:
-            match = match & (a_orig[:] != b_orig[:])
+            match = match & (a_orig[:].T != b_orig[:])
         # 1024 consecutive programs share one (1024,) SMEM output
         # block (matching XLA's T(1024) layout for 1-D s32 arrays);
         # each writes its own slot
@@ -429,19 +462,42 @@ def _count_pallas_fn(
             memory_space=pltpu.VMEM,
         )
 
+    def a_dummy(width):
+        return pl.BlockSpec(
+            (tile_m, width),
+            index_map=lambda i, rows, cols: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def bT_dummy(height):
+        return pl.BlockSpec(
+            (height, tile_n),
+            index_map=lambda i, rows, cols: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def aT_spec(height):
+        # a-side scalars live as [1, N] rows (see _gather_sparse_fn);
+        # the kernel transposes the (1, TM) block in VMEM
+        return pl.BlockSpec(
+            (height, tile_m),
+            index_map=lambda i, rows, cols: (0, rows[i]),
+            memory_space=pltpu.VMEM,
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
             a_spec(lpad),  # a_seq
-            a_spec(lpad),  # a_rseq
-            a_spec(1),  # a_len
-            a_spec(1),  # a_v
-            a_spec(1),  # a_j
-            a_spec(1),  # a_orig
+            a_spec(lpad) if indels else a_dummy(lpad),  # a_rseq
+            aT_spec(1),  # a_len
+            aT_spec(1),  # a_v
+            aT_spec(1),  # a_j
+            aT_spec(1),  # a_orig
             b_row_spec(lpad),  # b_seq
-            bT_spec(lpad),  # b_seqT
-            bT_spec(lpad),  # b_rseqT
+            bT_spec(lpad) if indels else bT_dummy(lpad),  # b_seqT
+            bT_spec(lpad) if indels else bT_dummy(lpad),  # b_rseqT
             bT_spec(1),  # b_len
             bT_spec(1),  # b_v
             bT_spec(1),  # b_j
@@ -500,14 +556,14 @@ def _make_extract_kernel(
         out_ref,
     ):
         match, _ = _match_tile_pallas(
-            a_seq[:], a_rseq[:], a_len[:], a_v[:], a_j[:],
+            a_seq[:], a_rseq[:], a_len[:].T, a_v[:].T, a_j[:].T,
             b_seq[:], b_seqT[:], b_rseqT[:], b_len[:], b_v[:], b_j[:],
             differences=differences, indels=indels,
             ignore_genes=ignore_genes, lpad=lpad,
             tile_m=tile_m, tile_n=tile_n,
         )
         if exclude_self:
-            match = match & (a_orig[:] != b_orig[:])
+            match = match & (a_orig[:].T != b_orig[:])
         mf = match.astype(jnp.float32)  # [TM, TN]
         lane = lax.broadcasted_iota(jnp.int32, (tile_n, wpr), 0)
         word = lax.broadcasted_iota(jnp.int32, (tile_n, wpr), 1)
@@ -583,19 +639,42 @@ def _extract_pallas_fn(
             memory_space=pltpu.VMEM,
         )
 
+    def a_dummy(width):
+        return pl.BlockSpec(
+            (tile_m, width),
+            index_map=lambda i, rows, cols: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def bT_dummy(height):
+        return pl.BlockSpec(
+            (height, tile_n),
+            index_map=lambda i, rows, cols: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def aT_spec(height):
+        # a-side scalars live as [1, N] rows (see _gather_sparse_fn);
+        # the kernel transposes the (1, TM) block in VMEM
+        return pl.BlockSpec(
+            (height, tile_m),
+            index_map=lambda i, rows, cols: (0, rows[i]),
+            memory_space=pltpu.VMEM,
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
             a_spec(lpad),  # a_seq
-            a_spec(lpad),  # a_rseq
-            a_spec(1),  # a_len
-            a_spec(1),  # a_v
-            a_spec(1),  # a_j
-            a_spec(1),  # a_orig
+            a_spec(lpad) if indels else a_dummy(lpad),  # a_rseq
+            aT_spec(1),  # a_len
+            aT_spec(1),  # a_v
+            aT_spec(1),  # a_j
+            aT_spec(1),  # a_orig
             b_row_spec(lpad),  # b_seq
-            bT_spec(lpad),  # b_seqT
-            bT_spec(lpad),  # b_rseqT
+            bT_spec(lpad) if indels else bT_dummy(lpad),  # b_seqT
+            bT_spec(lpad) if indels else bT_dummy(lpad),  # b_rseqT
             bT_spec(1),  # b_len
             bT_spec(1),  # b_v
             bT_spec(1),  # b_j
@@ -652,10 +731,13 @@ def extract_tiles_pallas(
     )
     rows = jnp.asarray((slab[:, 0] // tile_m).astype(np.int32))
     cols = jnp.asarray((slab[:, 1] // tile_n).astype(np.int32))
+    a_rseq = pa["rseqs"] if indels else _dummy_i8((tile_m, lpad))
+    b_seqT = pb["seqsT"] if indels else _dummy_i8((lpad, tile_n))
+    b_rseqT = pb["rseqsT"] if indels else _dummy_i8((lpad, tile_n))
     return fn(
         rows, cols,
-        pa["seqs"], pa["rseqs"], pa["len"], pa["v"], pa["j"], pa["orig"],
-        pb["seqs"], pb["seqsT"], pb["rseqsT"], pb["len"], pb["v"],
+        pa["seqs"], a_rseq, pa["len"], pa["v"], pa["j"], pa["orig"],
+        pb["seqs"], b_seqT, b_rseqT, pb["len"], pb["v"],
         pb["j"], pb["orig"],
     )
 
@@ -709,10 +791,13 @@ def count_tiles_pallas(
     Returns a host int32[len(work)] array."""
     lpad = pa["seqs"].shape[1]
     npad_a = pa["seqs"].shape[0]
-    npad_b = pb["seqsT"].shape[1]
+    npad_b = pb["seqs"].shape[0]
+    a_rseq = pa["rseqs"] if indels else _dummy_i8((tile_m, lpad))
+    b_seqT = pb["seqsT"] if indels else _dummy_i8((lpad, tile_n))
+    b_rseqT = pb["rseqsT"] if indels else _dummy_i8((lpad, tile_n))
     args = (
-        pa["seqs"], pa["rseqs"], pa["len"], pa["v"], pa["j"], pa["orig"],
-        pb["seqs"], pb["seqsT"], pb["rseqsT"], pb["len"], pb["v"],
+        pa["seqs"], a_rseq, pa["len"], pa["v"], pa["j"], pa["orig"],
+        pb["seqs"], b_seqT, b_rseqT, pb["len"], pb["v"],
         pb["j"], pb["orig"],
     )
     outs = []
@@ -761,9 +846,12 @@ def _unpack_residues(packed, lmax: int):
 _DERIVE_CHUNK = 1 << 21  # rows per derive step: bounds int32 temps
 
 
-def _seqs_chunk(seqs_packed, lengths_c, order_c, pad_val: int, lmax: int):
-    """Gather + unpack + per-row reversal for one row chunk."""
+def _seqs_chunk(seqs_packed, lengths_c, order_c, pad_val: int, lmax: int,
+                with_rseqs: bool = True):
+    """Gather + unpack (+ per-row reversal) for one row chunk."""
     seqs = _unpack_residues(jnp.take(seqs_packed, order_c, axis=0), lmax)
+    if not with_rseqs:
+        return seqs, None
     pos = jnp.arange(lmax, dtype=jnp.int32)[None, :]
     idx = jnp.clip(lengths_c[:, None] - 1 - pos, 0, lmax - 1)
     rev = jnp.take_along_axis(seqs, idx, axis=1)
@@ -773,14 +861,19 @@ def _seqs_chunk(seqs_packed, lengths_c, order_c, pad_val: int, lmax: int):
     return seqs, rseqs
 
 
-def _gathered_seqs(seqs_packed, lengths_s, order, pad_val: int, lmax: int):
-    """Sorted residue matrices + reversed rows, derived in fixed-size
-    row chunks: the gather/unpack/reversal temporaries are int32
-    [rows, lmax], which at tens of millions of rows would otherwise
-    exceed HBM in one shot (the 24M-sequence OOM)."""
+def _gathered_seqs(seqs_packed, lengths_s, order, pad_val: int, lmax: int,
+                   with_rseqs: bool = True):
+    """Sorted residue matrices (+ reversed rows when the indel check
+    needs them), derived in fixed-size row chunks: the
+    gather/unpack/reversal temporaries are int32 [rows, lmax], which
+    at tens of millions of rows would otherwise exceed HBM in one shot
+    (the 24M-sequence OOM)."""
     npad = order.shape[0]
     if npad <= _DERIVE_CHUNK:
-        return _seqs_chunk(seqs_packed, lengths_s, order, pad_val, lmax)
+        s, r = _seqs_chunk(
+            seqs_packed, lengths_s, order, pad_val, lmax, with_rseqs
+        )
+        return s, r
     c = _DERIVE_CHUNK
     nchunks = -(-npad // c)
 
@@ -789,20 +882,22 @@ def _gathered_seqs(seqs_packed, lengths_s, order, pad_val: int, lmax: int):
         start = jnp.minimum(i * c, npad - c)
         o = lax.dynamic_slice_in_dim(order, start, c)
         lens = lax.dynamic_slice_in_dim(lengths_s, start, c)
-        s, r = _seqs_chunk(seqs_packed, lens, o, pad_val, lmax)
+        s, r = _seqs_chunk(seqs_packed, lens, o, pad_val, lmax, with_rseqs)
         sb = lax.dynamic_update_slice(sb, s, (start, 0))
-        rb = lax.dynamic_update_slice(rb, r, (start, 0))
+        if with_rseqs:
+            rb = lax.dynamic_update_slice(rb, r, (start, 0))
         return sb, rb
 
     init = (
         jnp.zeros((npad, lmax), jnp.int8),
-        jnp.zeros((npad, lmax), jnp.int8),
+        jnp.zeros((npad if with_rseqs else 1, lmax), jnp.int8),
     )
-    return lax.fori_loop(0, nchunks, body, init)
+    seqs, rseqs = lax.fori_loop(0, nchunks, body, init)
+    return seqs, (rseqs if with_rseqs else None)
 
 
 @lru_cache(maxsize=None)
-def _gather_derive_fn(pad_val: int, lmax: int):
+def _gather_derive_fn(pad_val: int, lmax: int, with_indels: bool):
     """Device-side bucket sort + layout derivation from the raw
     (unsorted) upload. The host only computes the argsort permutation
     and the 5-bit residue packing; the row gather, residue unpack,
@@ -824,28 +919,23 @@ def _gather_derive_fn(pad_val: int, lmax: int):
         rep_s = jnp.take(rep.astype(jnp.int32), order)
         cnt_s = jnp.take(cnt.astype(jnp.float32), order)
         seqs_s, rseqs = _gathered_seqs(
-            seqs_packed, lengths_s, order, pad_val, lmax
+            seqs_packed, lengths_s, order, pad_val, lmax, with_indels
         )
-        col = lambda x: x.reshape(npad, 1)
         row = lambda x: x.reshape(1, npad)
+        scal = dict(
+            len=row(lengths_s), v=row(v_s), j=row(j_s),
+            rep=row(rep_s), cnt=row(cnt_s),
+        )
         a = dict(
             seqs=seqs_s,
-            rseqs=rseqs,
-            len=col(lengths_s),
-            v=col(v_s),
-            j=col(j_s),
-            rep=col(rep_s),
-            cnt=col(cnt_s),
+            rseqs=rseqs if with_indels else None,
+            **scal,
         )
         b = dict(
             seqs=seqs_s,
-            seqsT=seqs_s.T,
-            rseqsT=rseqs.T,
-            len=row(lengths_s),
-            v=row(v_s),
-            j=row(j_s),
-            rep=row(rep_s),
-            cnt=row(cnt_s),
+            seqsT=seqs_s.T if with_indels else None,
+            rseqsT=rseqs.T if with_indels else None,
+            **scal,
         )
         return a, b
 
@@ -853,45 +943,44 @@ def _gather_derive_fn(pad_val: int, lmax: int):
 
 
 @lru_cache(maxsize=None)
-def _gather_sparse_fn(pad_val: int, lmax: int):
-    """Sparse-path derive: the row-major layouts the XLA slab
-    functions (engine._slab_fn/_count_fn) consume plus the
-    [Np,1]/[1,Np] layouts the Pallas count/extract kernels consume,
-    all from one raw (packed) upload. `orig` is derived on device from
-    the order permutation itself (pads point at the sentinel index, a
-    traced scalar), not uploaded."""
+def _gather_sparse_fn(pad_val: int, lmax: int, with_indels: bool):
+    """Sparse-path derive: the [Np,1]/[1,Np] layouts the Pallas
+    count/extract kernels consume, from one raw (packed) upload.
+    `orig` is derived on device from the order permutation itself
+    (pads point at the sentinel index, a traced scalar), not uploaded.
+    Reversed rows and the set-2 transposes exist only when the indel
+    check needs them — at 24M sequences they are ~1.8 GB of HBM."""
 
     @jax.jit
     def f(seqs_packed, lengths, v, j, sentinel, order):
         npad = order.shape[0]
         lengths_s = jnp.take(lengths.astype(jnp.int32), order)
         seqs_s, rseqs = _gathered_seqs(
-            seqs_packed, lengths_s, order, pad_val, lmax
+            seqs_packed, lengths_s, order, pad_val, lmax, with_indels
         )
         v_s = jnp.take(v.astype(jnp.int32), order)
         j_s = jnp.take(j.astype(jnp.int32), order)
         orig_s = jnp.where(order >= sentinel, jnp.int32(-1), order)
-        rows = (seqs_s, rseqs, lengths_s, v_s, j_s, orig_s)
-        col = lambda x: x.reshape(npad, 1)
+        # both sides share [1, N] scalar rows: Mosaic pads [N, 1]
+        # operands to T(8,128) lanes — a 128x HBM expansion (12 GB per
+        # scalar at 24M rows); [1, N] pads sublanes only (8x) and the
+        # kernels transpose the tiny (1, T) block in VMEM
         row = lambda x: x.reshape(1, npad)
+        scal = dict(
+            len=row(lengths_s), v=row(v_s), j=row(j_s), orig=row(orig_s)
+        )
         pa = dict(
             seqs=seqs_s,
-            rseqs=rseqs,
-            len=col(lengths_s),
-            v=col(v_s),
-            j=col(j_s),
-            orig=col(orig_s),
+            rseqs=rseqs if with_indels else None,
+            **scal,
         )
         pb = dict(
             seqs=seqs_s,
-            seqsT=seqs_s.T,
-            rseqsT=rseqs.T,
-            len=row(lengths_s),
-            v=row(v_s),
-            j=row(j_s),
-            orig=row(orig_s),
+            seqsT=seqs_s.T if with_indels else None,
+            rseqsT=rseqs.T if with_indels else None,
+            **scal,
         )
-        return rows, pa, pb
+        return pa, pb
 
     return f
 
@@ -903,11 +992,13 @@ def _canon_src(n: int) -> int:
     return canon_rows(n, 1024)
 
 
-def device_rows_raw(db, order: np.ndarray, npad: int, lpad: int):
+def device_rows_raw(db, order: np.ndarray, npad: int, lpad: int,
+                    indels: bool = True):
     """Upload a SeqDB's raw arrays and derive the sorted layouts on
     device — the sparse-path twin of device_args_raw. Returns
-    (rows_tuple, pallas_a_dict, pallas_b_dict); rows_tuple is the
-    (seqs, rseqs, len, v, j, orig) input of engine._slab_fn/_count_fn."""
+    (pallas_a_dict, pallas_b_dict); with indels=False the reversed and
+    transposed residue layouts are None (the kernels take dummy
+    blocks)."""
     n = db.n
     pad_val = int(db.pad_value)
     m = _canon_src(n + 1)
@@ -917,7 +1008,7 @@ def device_rows_raw(db, order: np.ndarray, npad: int, lpad: int):
     order_full = np.full(npad, n, dtype=np.int32)
     order_full[:n] = order
     dev = jax.device_put
-    return _gather_sparse_fn(pad_val, lpad)(
+    return _gather_sparse_fn(pad_val, lpad, indels)(
         dev(_pack_residues(seqs)),
         dev(_shrink(db.lengths, -1, m)),
         dev(_shrink(db.v_no, -1, m)),
@@ -938,7 +1029,8 @@ def _shrink(x: np.ndarray, sentinel: int, m: int) -> np.ndarray:
     return out.astype(np.int32)
 
 
-def device_args_raw(db, order: np.ndarray, npad: int, lpad: int) -> dict:
+def device_args_raw(db, order: np.ndarray, npad: int, lpad: int,
+                    indels: bool = True) -> dict:
     """Upload a SeqDB's raw arrays (plus one sentinel row) and derive
     the sorted kernel layouts on device (see _gather_derive_fn).
     `order` is pack_keys' permutation; padding rows map to the
@@ -954,7 +1046,7 @@ def device_args_raw(db, order: np.ndarray, npad: int, lpad: int) -> dict:
     order_full = np.full(npad, n, dtype=np.int32)
     order_full[:n] = order
     dev = jax.device_put
-    a, b = _gather_derive_fn(pad_val, lpad)(
+    a, b = _gather_derive_fn(pad_val, lpad, indels)(
         dev(_pack_residues(seqs)),
         dev(_shrink(db.lengths, -1, m)),
         dev(_shrink(db.v_no, -1, m)),
@@ -1010,7 +1102,7 @@ def dense_matrix_pallas(
     summed."""
     lpad = a_dev["seqs"].shape[1]
     npad_a = a_dev["seqs"].shape[0]
-    npad_b = b_dev["seqsT"].shape[1]
+    npad_b = b_dev["seqs"].shape[0]
     acc = None
     for chunk, _c in _chunk_worklist(
         work, tile_m, tile_n, npad_a, npad_b, 64
@@ -1059,19 +1151,22 @@ def _dense_pallas_chunk(
         int(len(rows)),
         interpret,
     )
+    a_rseq = a_dev["rseqs"] if indels else _dummy_i8((tile_m, lpad))
+    b_seqT = b_dev["seqsT"] if indels else _dummy_i8((lpad, tile_n))
+    b_rseqT = b_dev["rseqsT"] if indels else _dummy_i8((lpad, tile_n))
     return fn(
         jnp.asarray(rows),
         jnp.asarray(cols),
         a_dev["seqs"],
-        a_dev["rseqs"],
+        a_rseq,
         a_dev["len"],
         a_dev["v"],
         a_dev["j"],
         a_dev["rep"],
         a_dev["cnt"],
         b_dev["seqs"],
-        b_dev["seqsT"],
-        b_dev["rseqsT"],
+        b_seqT,
+        b_rseqT,
         b_dev["len"],
         b_dev["v"],
         b_dev["j"],

@@ -93,13 +93,15 @@ def test_device_derivations_match_host_pack(dbs):
     np.testing.assert_array_equal(key, p.key)
     np.testing.assert_array_equal(order, p.orig[: d1.n])
 
-    rows, pa, pb = device_rows_raw(d1, order, npad, lmax)
-    seqs, rseqs, lens, v, j, orig = (np.asarray(x) for x in rows)
-    np.testing.assert_array_equal(np.asarray(pa["seqs"]), seqs)
+    pa, pb = device_rows_raw(d1, order, npad, lmax)
+    seqs = np.asarray(pa["seqs"])
+    rseqs = np.asarray(pa["rseqs"])
+    lens = np.asarray(pa["len"]).ravel()
+    v = np.asarray(pa["v"]).ravel()
+    j = np.asarray(pa["j"]).ravel()
+    orig = np.asarray(pa["orig"]).ravel()
     np.testing.assert_array_equal(np.asarray(pb["seqsT"]).T, seqs)
-    np.testing.assert_array_equal(
-        np.asarray(pa["orig"]).ravel(), orig
-    )
+    np.testing.assert_array_equal(np.asarray(pb["rseqsT"]).T, rseqs)
     n = d1.n
     np.testing.assert_array_equal(seqs[:n], p.seqs[:n])
     np.testing.assert_array_equal(rseqs[:n], p.rseqs[:n])
@@ -208,10 +210,19 @@ def test_pallas_count_kernel_matches_xla(dbs, d, indels, xself):
         exclude_self=xself,
     )
     lmax = _round_up(int(max(d1.longest, d2.longest)), 8)
+    from compairr_tpu.ops.engine import pack_set
+
     oa, ka, na = pack_keys(d1, 128, True)
     ob, kb, nb = pack_keys(d2, 128, True)
-    ra, pa, _ = device_rows_raw(d1, oa, na, lmax)
-    rb, _, pb = device_rows_raw(d2, ob, nb, lmax)
+    pa, _ = device_rows_raw(d1, oa, na, lmax)
+    _, pb = device_rows_raw(d2, ob, nb, lmax)
+    psa = pack_set(d1, lmax, 128, True)
+    psb = pack_set(d2, lmax, 128, True)
+    dev = jax.device_put
+    ra = (dev(psa.seqs), dev(psa.rseqs), dev(psa.lengths), dev(psa.v),
+          dev(psa.j), dev(psa.orig))
+    rb = (dev(psb.seqs), dev(psb.rseqs), dev(psb.lengths), dev(psb.v),
+          dev(psb.j), dev(psb.orig))
     delta = 1 if (indels and d == 1) else 0
     work = pad_worklist_n(
         worklist_from_keys(ka, d1.n, kb, d2.n, delta, 128, 128),
@@ -260,10 +271,20 @@ def test_pallas_extract_kernel_matches_xla(dbs, d, indels, xself):
         exclude_self=xself,
     )
     lmax = _round_up(int(max(d1.longest, d2.longest)), 8)
+    from compairr_tpu.ops.engine import pack_set
+
     oa, ka, na = pack_keys(d1, 128, True)
     ob, kb, nb = pack_keys(d2, 128, True)
-    ra, pa, _ = device_rows_raw(d1, oa, na, lmax)
-    rb, _, pb = device_rows_raw(d2, ob, nb, lmax)
+    pa, _ = device_rows_raw(d1, oa, na, lmax)
+    _, pb = device_rows_raw(d2, ob, nb, lmax)
+    psa = pack_set(d1, lmax, 128, True)
+    psb = pack_set(d2, lmax, 128, True)
+    import jax as _jax
+    dev = _jax.device_put
+    ra = (dev(psa.seqs), dev(psa.rseqs), dev(psa.lengths), dev(psa.v),
+          dev(psa.j), dev(psa.orig))
+    rb = (dev(psb.seqs), dev(psb.rseqs), dev(psb.lengths), dev(psb.v),
+          dev(psb.j), dev(psb.orig))
     delta = 1 if (indels and d == 1) else 0
     work = pad_worklist_n(
         worklist_from_keys(ka, d1.n, kb, d2.n, delta, 128, 128),
@@ -309,8 +330,10 @@ def test_chunked_derive_matches_host_pack(dbs, monkeypatch):
     lmax = int(d1.longest)
     p = pack_set(d1, lmax, 128, by_vjl=True)
     order, _key, npad = pack_keys(d1, 128, by_vjl=True)
-    rows, pa, pb = P.device_rows_raw(d1, order, npad, lmax)
-    seqs, rseqs, lens, v, j, orig = (np.asarray(x) for x in rows)
+    pa, pb = P.device_rows_raw(d1, order, npad, lmax)
+    seqs = np.asarray(pa["seqs"])
+    rseqs = np.asarray(pa["rseqs"])
+    orig = np.asarray(pa["orig"]).ravel()
     n = d1.n
     np.testing.assert_array_equal(seqs[:n], p.seqs[:n])
     np.testing.assert_array_equal(rseqs[:n], p.rseqs[:n])
@@ -322,3 +345,16 @@ def test_chunked_derive_matches_host_pack(dbs, monkeypatch):
     monkeypatch.undo()
     P._gather_sparse_fn.cache_clear()
     P._gather_derive_fn.cache_clear()
+
+
+@pytest.mark.parametrize("d,indels", [(0, False), (1, True), (2, False)])
+def test_dense_pallas_interpret_matches_xla(dbs, d, indels):
+    """dense_matrix with the Pallas engine (interpret mode on CPU)
+    must equal the XLA engine exactly."""
+    d1, d2 = dbs
+    spec = MatchSpec(differences=d, indels=indels, ignore_genes=False)
+    m_xla = dense_matrix(d1, d2, spec, SCORE_PRODUCT, False, engine="xla")
+    m_pal = dense_matrix(
+        d1, d2, spec, SCORE_PRODUCT, False, engine="pallas"
+    )
+    np.testing.assert_allclose(m_xla, m_pal, rtol=0, atol=0)
