@@ -43,21 +43,61 @@ def group_ids(
         cols.append(db.j_no.astype(np.int32))
     if include_rep:
         cols.append(db.rep_no.astype(np.int32))
+    if len(cols) % 2:
+        cols.append(np.zeros(n, dtype=np.int32))
+    meta = np.ascontiguousarray(np.stack(cols, axis=1))
 
-    meta = np.stack(cols, axis=1).view(np.int8).reshape(n, -1)
-    key = np.concatenate([meta, db.seqs], axis=1)
-    key = np.ascontiguousarray(key)
-    void = key.view([("k", np.void, key.shape[1])]).ravel()
+    # hash-first exact grouping: a 64-bit wrapping polynomial hash per
+    # row over 8-byte words, then exact verification only inside
+    # equal-hash runs. A direct np.unique over 40-byte void rows costs
+    # ~90 s at 24M rows; this is an order of magnitude cheaper and
+    # provably identical (equal rows always share a hash; unequal rows
+    # that collide are separated by the exact subset pass).
+    width = db.seqs.shape[1]
+    w8 = -(-width // 8) * 8
+    if width == w8 and db.seqs.flags.c_contiguous:
+        seqs8 = db.seqs
+    else:
+        seqs8 = np.full((n, w8), db.pad_value, dtype=np.int8)
+        seqs8[:, :width] = db.seqs
+    seq_words = seqs8.view("<u8")
+    meta_words = meta.view("<u8")
 
-    _, first_idx, inverse = np.unique(
-        void, return_index=True, return_inverse=True
-    )
-    # renumber groups by first-occurrence order
-    order = np.argsort(first_idx, kind="stable")
-    remap = np.empty_like(order)
-    remap[order] = np.arange(len(order))
-    inverse = remap[inverse]
-    return inverse.astype(np.int64), len(first_idx)
+    h = np.zeros(n, dtype=np.uint64)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    for c in range(meta_words.shape[1]):
+        h *= mult
+        h += meta_words[:, c]
+    for c in range(seq_words.shape[1]):
+        h *= mult
+        h += seq_words[:, c]
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    boundary = np.empty(n, dtype=bool)
+    boundary[0] = True
+    np.not_equal(hs[1:], hs[:-1], out=boundary[1:])
+    run_id = np.cumsum(boundary) - 1
+    run_sizes = np.bincount(run_id)
+    in_multi = run_sizes[run_id] > 1  # positions (sorted order)
+
+    # representative (= smallest original index) per group
+    rep = np.arange(n, dtype=np.int64)  # singles represent themselves
+    multi_rows = order[in_multi]
+    if len(multi_rows):
+        sub = np.concatenate(
+            [meta[multi_rows].view(np.int8), seqs8[multi_rows]], axis=1
+        )
+        sub = np.ascontiguousarray(sub)
+        void = sub.view([("k", np.void, sub.shape[1])]).ravel()
+        _, sub_inv = np.unique(void, return_inverse=True)
+        sub_inv = sub_inv.reshape(-1)
+        rep_sub = np.full(int(sub_inv.max()) + 1, n, dtype=np.int64)
+        np.minimum.at(rep_sub, sub_inv, multi_rows)
+        rep[multi_rows] = rep_sub[sub_inv]
+
+    # group ids numbered by first occurrence == ascending representative
+    reps_sorted, inverse = np.unique(rep, return_inverse=True)
+    return inverse.reshape(-1).astype(np.int64), len(reps_sorted)
 
 
 def count_duplicates(db: SeqDB, *, include_genes: bool) -> int:

@@ -232,14 +232,35 @@ def overlap(
         d1, d2, spec, logger, "Analysing:        "
     )
 
-    # reference single-thread emission order: seed-major, variant order
-    lmax = max(d1.longest, d2.longest, 1)
-    d1.repad(lmax)
-    d2.repad(lmax)
-    perm = sort_pairs_reference_order(
-        d1.seqs, d1.lengths, d2.seqs, d2.lengths, idx1, idx2
+    # reference single-thread emission order (seed-major, variant
+    # order) is required for the pairs file and whenever float64
+    # accumulation is order-sensitive. Integer-valued scores (product,
+    # min, max, MH, -f; mean is dyadic) sum exactly in f64 while the
+    # largest possible cell stays below 2^53, making the matrix
+    # independent of emission order — the sort (a 7-key lexsort over
+    # every matched pair) is skipped then.
+    from ..constants import SCORE_RATIO
+
+    if opt.ignore_counts:
+        max_term = 1.0
+    elif opt.score_int == SCORE_RATIO:
+        max_term = None  # a/b sums are order-sensitive
+    else:
+        c1max = float(d1.counts.max()) if d1.n else 0.0
+        c2max = float(d2.counts.max()) if d2.n else 0.0
+        max_term = c1max * c2max
+    order_free = (
+        max_term is not None
+        and max_term * float(max(len(idx1), 1)) < float(2**53)
     )
-    idx1, idx2, dist = idx1[perm], idx2[perm], dist[perm]
+    if pairsfile is not None or not order_free:
+        lmax = max(d1.longest, d2.longest, 1)
+        d1.repad(lmax)
+        d2.repad(lmax)
+        perm = sort_pairs_reference_order(
+            d1.seqs, d1.lengths, d2.seqs, d2.lengths, idx1, idx2
+        )
+        idx1, idx2, dist = idx1[perm], idx2[perm], dist[perm]
 
     scores = pair_scores(
         d1.counts[idx1], d2.counts[idx2], opt.score_int, opt.ignore_counts
