@@ -26,7 +26,7 @@ from ..config import Options
 from ..constants import MAXDIFF_HASH
 from ..core.db import GeneTables, SeqDB, repertoire_stats
 from ..core.exact import count_duplicates
-from ..core.score import fmt, matrix_cell_value, pair_scores
+from ..core.score import fmt, pair_scores
 from ..core.variant_order import sort_pairs_reference_order
 from ..io.airr import read_db
 from ..utils.progress import Logger, fatal

@@ -796,7 +796,10 @@ def find_pairs(
     # dominated by per-program overhead (~1-3us/tile incl. block DMAs);
     # 512x512 tiles cut the program count 16x at a modest padding cost
     tile = TILE_M if max(db1.n, db2.n) <= 2_000_000 or not on_tpu else 512
-    s_extract = max(64, S_EXTRACT * (TILE_M * TILE_N) // (tile * tile))
+    # extraction slab sized for ~4M match-words per dispatch: big
+    # enough that the fused nonzero (~9ms/M words) dominates the
+    # ~30ms dispatch round trip
+    s_extract = max(64, (1 << 22) // (tile * (tile // 32)))
 
     use_indels = spec.indels and spec.differences == 1
     a_args, pa_a, _pb_a, orig_a, key_a, npad_a = _sparse_inputs(

@@ -15,7 +15,6 @@ the SPMD program has identical shape on every device.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence
 
 import numpy as np
@@ -23,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.db import SeqDB
 from ..ops.engine import (
@@ -32,7 +31,6 @@ from ..ops.engine import (
     TILE_M,
     TILE_N,
     _round_up,
-    build_worklist,
     dense_tile_contrib,
     pack_set,
 )
