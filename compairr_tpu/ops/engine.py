@@ -139,7 +139,7 @@ def pack_set(
 
     need_rseqs=False skips the host-side per-row reversal (a ~0.3 s/M
     rows memory shuffle); the Pallas path re-derives reversed rows on
-    device (pallas_kernels._derive_fn) and never reads the host copy.
+    device (pallas_kernels._gather_derive_fn) and never reads the host copy.
     """
     n = db.n
     if by_vjl:
@@ -792,16 +792,20 @@ def find_pairs(
         lmax = _round_up(lmax, 8)
     by_vjl = not spec.ignore_genes
     delta = 1 if (spec.indels and spec.differences == 1) else 0
+    use_indels = spec.indels and spec.differences == 1
     # bigger tiles for huge inputs: the Pallas count kernel's cost is
     # dominated by per-program overhead (~1-3us/tile incl. block DMAs);
-    # 512x512 tiles cut the program count 16x at a modest padding cost
-    tile = TILE_M if max(db1.n, db2.n) <= 2_000_000 or not on_tpu else 512
+    # 512x512 tiles cut the program count 16x at a modest padding
+    # cost. The indel prefix/suffix loop needs four [T,T] i32 VMEM
+    # buffers, which exceeds scoped VMEM at 512 — cap indel runs at 256.
+    if max(db1.n, db2.n) <= 2_000_000 or not on_tpu:
+        tile = TILE_M
+    else:
+        tile = 256 if use_indels else 512
     # extraction slab sized for ~4M match-words per dispatch: big
     # enough that the fused nonzero (~9ms/M words) dominates the
     # ~30ms dispatch round trip
     s_extract = max(64, (1 << 22) // (tile * (tile // 32)))
-
-    use_indels = spec.indels and spec.differences == 1
     a_args, pa_a, _pb_a, orig_a, key_a, npad_a = _sparse_inputs(
         db1, tile, by_vjl, lmax, on_tpu, use_indels
     )

@@ -328,48 +328,6 @@ def _dense_pallas_fn(
     return jax.jit(fn)
 
 
-@lru_cache(maxsize=None)
-def _derive_fn(pad_val: int):
-    """On-device derivation of kernel layouts from the raw upload:
-    per-row reversal (within each row's own length), transposes, and
-    the [Np,1]/[1,Np] scalar layouts. Keeps host->device traffic to
-    the raw int8 residues plus five scalar vectors per set."""
-
-    @jax.jit
-    def f(seqs, lengths, v, j, rep, cnt):
-        n, l = seqs.shape
-        pos = jnp.arange(l, dtype=jnp.int32)[None, :]
-        idx = jnp.clip(lengths[:, None] - 1 - pos, 0, l - 1)
-        rev = jnp.take_along_axis(seqs, idx, axis=1)
-        rseqs = jnp.where(
-            pos < lengths[:, None], rev, jnp.int8(pad_val)
-        ).astype(jnp.int8)
-        col = lambda x, dt: x.astype(dt).reshape(n, 1)
-        row = lambda x, dt: x.astype(dt).reshape(1, n)
-        a = dict(
-            seqs=seqs,
-            rseqs=rseqs,
-            len=col(lengths, jnp.int32),
-            v=col(v, jnp.int32),
-            j=col(j, jnp.int32),
-            rep=col(rep, jnp.int32),
-            cnt=col(cnt, jnp.float32),
-        )
-        b = dict(
-            seqs=seqs,
-            seqsT=seqs.T,
-            rseqsT=rseqs.T,
-            len=row(lengths, jnp.int32),
-            v=row(v, jnp.int32),
-            j=row(j, jnp.int32),
-            rep=row(rep, jnp.int32),
-            cnt=row(cnt, jnp.float32),
-        )
-        return a, b
-
-    return f
-
-
 def _make_count_kernel(
     *,
     differences: int,
@@ -1054,28 +1012,6 @@ def device_args_raw(db, order: np.ndarray, npad: int, lpad: int,
         dev(_shrink(db.rep_no, -1, m)),
         dev(cnt),
         dev(order_full),
-    )
-    return {"a": a, "b": b}
-
-
-def device_args_pallas(p, lpad: int):
-    """Upload a PackedSet once and derive all kernel layouts on
-    device (see _derive_fn)."""
-    n = p.seqs.shape[0]
-    seqs = p.seqs
-    pad_val = int(seqs[-1, 0])
-    if seqs.shape[1] < lpad:
-        grown = np.full((n, lpad), pad_val, dtype=np.int8)
-        grown[:, : seqs.shape[1]] = seqs
-        seqs = grown
-    dev = jax.device_put
-    a, b = _derive_fn(pad_val)(
-        dev(seqs),
-        dev(np.ascontiguousarray(p.lengths, dtype=np.int32)),
-        dev(np.ascontiguousarray(p.v, dtype=np.int32)),
-        dev(np.ascontiguousarray(p.j, dtype=np.int32)),
-        dev(np.ascontiguousarray(p.rep, dtype=np.int32)),
-        dev(np.ascontiguousarray(p.counts, dtype=np.float32)),
     )
     return {"a": a, "b": b}
 
