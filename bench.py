@@ -99,9 +99,9 @@ def main():
     )
 
     # steady state: full queries (pack + upload + kernel + download);
-    # min-of-3 damps the shared-tunnel transfer variance
+    # min-of-5 damps the shared-tunnel transfer variance
     wall = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         m = dense_matrix(
             d1, d2, spec, SCORE_PRODUCT, False, tile_m=tile, tile_n=tile
