@@ -137,6 +137,26 @@ def load_library():
             ct.c_char_p,
         ]
 
+    if hasattr(lib, "write_dedup_tsv"):
+        lib.write_dedup_tsv.restype = ct.c_int
+        lib.write_dedup_tsv.argtypes = [
+            ct.c_int,
+            ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64),
+            ct.c_int64,
+            ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_char_p),
+            ct.POINTER(ct.c_char_p),
+            ct.POINTER(ct.c_char_p),
+            ct.POINTER(ct.c_int8),
+            ct.c_int64,
+            ct.POINTER(ct.c_int32),
+            ct.c_char_p,
+            ct.c_int,
+        ]
+
     if hasattr(lib, "cluster_bfs"):
         lib.cluster_bfs.restype = ct.c_int64
         lib.cluster_bfs.argtypes = [
@@ -174,6 +194,53 @@ def cluster_bfs_native(adj_start, dst, clusterid, nxt):
         n, p(adj_start), p(dst), p(clusterid), p(nxt), p(seeds), p(sizes)
     )
     return seeds[:k], sizes[:k]
+
+
+def write_dedup_native(outfile, db, first, merged,
+                       include_genes: bool) -> bool:
+    """Stream deduplicate output rows through the native writer
+    (/root/reference/src/dedup.cc:27-57 semantics). Returns False when
+    unavailable — modes/dedup.py falls back to the Python loop."""
+    if os.environ.get("COMPAIRR_NATIVE_IO") == "0":
+        return False
+    lib = load_library()
+    if lib is None or not hasattr(lib, "write_dedup_tsv"):
+        return False
+    try:
+        outfile.flush()
+        fd = outfile.fileno()
+    except (AttributeError, OSError, ValueError):
+        return False
+    from ..constants import AA_CHARS, NT_CHARS
+
+    alphabet = (NT_CHARS if db.nucleotides else AA_CHARS) + "?"
+    seqs = np.ascontiguousarray(db.seqs, dtype=np.int8)
+    first = np.ascontiguousarray(first, dtype=np.int64)
+    merged = np.ascontiguousarray(merged, dtype=np.int64)
+    rep_no = np.ascontiguousarray(db.rep_no, dtype=np.int32)
+    v_no = np.ascontiguousarray(db.v_no, dtype=np.int32)
+    j_no = np.ascontiguousarray(db.j_no, dtype=np.int32)
+    lengths = np.ascontiguousarray(db.lengths, dtype=np.int32)
+    p64 = lambda x: x.ctypes.data_as(ct.POINTER(ct.c_int64))
+    p32 = lambda x: x.ctypes.data_as(ct.POINTER(ct.c_int32))
+    rc = lib.write_dedup_tsv(
+        fd,
+        p64(first),
+        p64(merged),
+        len(first),
+        p32(rep_no),
+        p32(v_no),
+        p32(j_no),
+        _label_array(db.repertoire_ids),
+        _label_array(db.genes.v_names),
+        _label_array(db.genes.j_names),
+        seqs.ctypes.data_as(ct.POINTER(ct.c_int8)),
+        seqs.shape[1],
+        p32(lengths),
+        alphabet.encode("latin-1"),
+        int(include_genes),
+    )
+    return rc == 0
 
 
 def _label_array(labels):

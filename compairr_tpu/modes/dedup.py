@@ -64,6 +64,16 @@ def dedup(opt: Options, logger: Logger, outfile: IO[str]) -> SeqDB:
     first[groups[::-1]] = np.arange(n - 1, -1, -1)
 
     logger.progress_init("Writing output:   ", n)
+    from ..io.native import write_dedup_native
+
+    if write_dedup_native(
+        outfile, db, first, merged, include_genes=not opt.ignore_genes
+    ):
+        logger.progress_update(n)
+        logger.progress_done()
+        logger.write("\n")
+        return db
+
     chunk = 1 << 18
     for g0 in range(0, n_groups, chunk):
         gs = range(g0, min(g0 + chunk, n_groups))
