@@ -192,6 +192,17 @@ def overlap(
     r2 = d2.repertoire_count
     n1 = d1.n
 
+    spec = MatchSpec(
+        differences=opt.differences,
+        indels=opt.indels,
+        ignore_genes=opt.ignore_genes,
+    )
+    # start the (async) device uploads now so they overlap the
+    # host-side duplicate check below — tens of seconds at 24M rows
+    from ..ops.engine import prefetch_find_pairs
+
+    prefetch_find_pairs(d1, d2, spec)
+
     # ---- duplicate warnings (overlap.cc:838-874) ----
     if opt.differences <= MAXDIFF_HASH:
         logger.progress_init("Computing hashes: ", d1.n)
@@ -223,11 +234,6 @@ def overlap(
     if pairsfile is not None:
         _write_pairs_header(opt, pairsfile)
 
-    spec = MatchSpec(
-        differences=opt.differences,
-        indels=opt.indels,
-        ignore_genes=opt.ignore_genes,
-    )
     idx1, idx2, dist = find_pairs(
         d1, d2, spec, logger, "Analysing:        "
     )

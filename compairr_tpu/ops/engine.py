@@ -775,6 +775,60 @@ def _sparse_inputs(db: SeqDB, tile: int, by_vjl: bool, lmax: int,
     return args, None, None, p.orig, p.key, p.np_
 
 
+def _pair_plan(db1: SeqDB, db2: SeqDB, spec: MatchSpec, on_tpu: bool):
+    """Static launch parameters for a find_pairs run (shared with the
+    prefetch path so cache keys always agree).
+
+    Tile choice: bigger tiles for huge inputs — the Pallas count
+    kernel's cost is dominated by per-program overhead (~1-3us/tile
+    incl. block DMAs); 512x512 tiles cut the program count 16x at a
+    modest padding cost. The indel prefix/suffix loop needs four [T,T]
+    i32 VMEM buffers, which exceeds scoped VMEM at 512 — indel runs
+    cap at 256. Extraction slabs are sized for ~4M match-words per
+    dispatch so the fused nonzero (~9ms/M words) dominates the ~30ms
+    dispatch round trip."""
+    lmax = int(max(db1.longest, db2.longest, 1))
+    if on_tpu:
+        lmax = _round_up(lmax, 8)
+    by_vjl = not spec.ignore_genes
+    use_indels = spec.indels and spec.differences == 1
+    if max(db1.n, db2.n) <= 2_000_000 or not on_tpu:
+        tile = TILE_M
+    else:
+        tile = 256 if use_indels else 512
+    s_extract = max(64, (1 << 22) // (tile * (tile // 32)))
+    return tile, s_extract, lmax, by_vjl, use_indels
+
+
+_SPARSE_PREFETCH: dict = {}
+
+
+def _sparse_inputs_cached(db, tile, by_vjl, lmax, on_tpu, indels):
+    key = (id(db), tile, by_vjl, lmax, on_tpu, indels)
+    hit = _SPARSE_PREFETCH.pop(key, None)
+    if hit is not None:
+        return hit
+    return _sparse_inputs(db, tile, by_vjl, lmax, on_tpu, indels)
+
+
+def prefetch_find_pairs(db1: SeqDB, db2: SeqDB, spec: MatchSpec) -> None:
+    """Start the (async) raw uploads + device derive for a subsequent
+    find_pairs call. The CLI calls this right after reading the input
+    files so the multi-hundred-MB host->device transfer of a large run
+    overlaps the host-side duplicate check instead of serialising
+    after it."""
+    on_tpu = jax.default_backend() != "cpu"
+    if not on_tpu:
+        return
+    tile, _s, lmax, by_vjl, use_indels = _pair_plan(db1, db2, spec, True)
+    for db in ([db1] if db2 is db1 else [db1, db2]):
+        key = (id(db), tile, by_vjl, lmax, True, use_indels)
+        if key not in _SPARSE_PREFETCH:
+            _SPARSE_PREFETCH[key] = _sparse_inputs(
+                db, tile, by_vjl, lmax, True, use_indels
+            )
+
+
 def find_pairs(
     db1: SeqDB,
     db2: SeqDB,
@@ -787,26 +841,11 @@ def find_pairs(
     Returns (idx1, idx2, dist) in original indices, unordered.
     """
     on_tpu = jax.default_backend() != "cpu"
-    lmax = int(max(db1.longest, db2.longest, 1))
-    if on_tpu:
-        lmax = _round_up(lmax, 8)
-    by_vjl = not spec.ignore_genes
-    delta = 1 if (spec.indels and spec.differences == 1) else 0
-    use_indels = spec.indels and spec.differences == 1
-    # bigger tiles for huge inputs: the Pallas count kernel's cost is
-    # dominated by per-program overhead (~1-3us/tile incl. block DMAs);
-    # 512x512 tiles cut the program count 16x at a modest padding
-    # cost. The indel prefix/suffix loop needs four [T,T] i32 VMEM
-    # buffers, which exceeds scoped VMEM at 512 — cap indel runs at 256.
-    if max(db1.n, db2.n) <= 2_000_000 or not on_tpu:
-        tile = TILE_M
-    else:
-        tile = 256 if use_indels else 512
-    # extraction slab sized for ~4M match-words per dispatch: big
-    # enough that the fused nonzero (~9ms/M words) dominates the
-    # ~30ms dispatch round trip
-    s_extract = max(64, (1 << 22) // (tile * (tile // 32)))
-    a_args, pa_a, _pb_a, orig_a, key_a, npad_a = _sparse_inputs(
+    tile, s_extract, lmax, by_vjl, use_indels = _pair_plan(
+        db1, db2, spec, on_tpu
+    )
+    delta = 1 if use_indels else 0
+    a_args, pa_a, _pb_a, orig_a, key_a, npad_a = _sparse_inputs_cached(
         db1, tile, by_vjl, lmax, on_tpu, use_indels
     )
     if db2 is db1:
@@ -814,7 +853,7 @@ def find_pairs(
             a_args, _pb_a, orig_a, key_a, npad_a
         )
     else:
-        b_args, _pa_b, pb_b, orig_b, key_b, npad_b = _sparse_inputs(
+        b_args, _pa_b, pb_b, orig_b, key_b, npad_b = _sparse_inputs_cached(
             db2, tile, by_vjl, lmax, on_tpu, use_indels
         )
 
