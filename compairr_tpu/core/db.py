@@ -26,6 +26,44 @@ import numpy as np
 from ..constants import DECODE_AA, DECODE_NT
 
 
+class LazyStrList:
+    """Decode-on-demand view over a blob+offsets string table.
+
+    Behaves like list[Optional[str]] for indexing. read_db returns
+    millions of sequence_id/keep strings that most modes never touch
+    (dedup/cluster/matrix output uses none or a handful); decoding them
+    eagerly costs seconds at Keck scale.
+    """
+
+    __slots__ = ("_blob", "_off", "_has")
+
+    def __init__(self, blob, off, has=None):
+        self._blob = blob
+        self._off = off
+        self._has = has
+
+    def __len__(self) -> int:
+        return len(self._off) - 1
+
+    def __getitem__(self, i):
+        if self._has is not None and not self._has[i]:
+            return None
+        return bytes(
+            self._blob[self._off[i]:self._off[i + 1]]
+        ).decode("latin-1")
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def __eq__(self, other):
+        if isinstance(other, (list, tuple, LazyStrList)):
+            return len(self) == len(other) and all(
+                a == b for a, b in zip(self, other)
+            )
+        return NotImplemented
+
+
 class GeneTables:
     """V/J gene interning shared by both input sets (db.cc:119-125)."""
 

@@ -37,6 +37,26 @@ def group_ids(
     if n == 0:
         return np.zeros(0, dtype=np.int64), 0
 
+    # native open-addressing pass when available (~5x the numpy
+    # sort-based path at Keck scale). Padded rows are injective (the
+    # pad code is not a residue), so length needn't join the key.
+    from ..io.native import group_rows_native
+
+    meta_cols: list[np.ndarray] = []
+    if include_genes:
+        meta_cols.append(db.v_no.astype(np.int32))
+        meta_cols.append(db.j_no.astype(np.int32))
+    if include_rep:
+        meta_cols.append(db.rep_no.astype(np.int32))
+    nat_meta = (
+        np.ascontiguousarray(np.stack(meta_cols, axis=1))
+        if meta_cols
+        else np.zeros((n, 0), dtype=np.int32)
+    )
+    nat = group_rows_native(db.seqs, nat_meta)
+    if nat is not None:
+        return nat
+
     cols: list[np.ndarray] = [db.lengths.astype(np.int32)]
     if include_genes:
         cols.append(db.v_no.astype(np.int32))
@@ -73,12 +93,13 @@ def group_ids(
         h += seq_words[:, c]
     order = np.argsort(h, kind="stable")
     hs = h[order]
-    boundary = np.empty(n, dtype=bool)
-    boundary[0] = True
-    np.not_equal(hs[1:], hs[:-1], out=boundary[1:])
-    run_id = np.cumsum(boundary) - 1
-    run_sizes = np.bincount(run_id)
-    in_multi = run_sizes[run_id] > 1  # positions (sorted order)
+    # a sorted position is part of a multi-element hash run iff it
+    # shares its hash with either neighbour
+    same_prev = np.empty(n, dtype=bool)
+    same_prev[0] = False
+    np.equal(hs[1:], hs[:-1], out=same_prev[1:])
+    in_multi = same_prev.copy()
+    in_multi[:-1] |= same_prev[1:]
 
     # representative (= smallest original index) per group
     rep = np.arange(n, dtype=np.int64)  # singles represent themselves
@@ -95,9 +116,12 @@ def group_ids(
         np.minimum.at(rep_sub, sub_inv, multi_rows)
         rep[multi_rows] = rep_sub[sub_inv]
 
-    # group ids numbered by first occurrence == ascending representative
-    reps_sorted, inverse = np.unique(rep, return_inverse=True)
-    return inverse.reshape(-1).astype(np.int64), len(reps_sorted)
+    # group ids numbered by first occurrence == ascending representative;
+    # rank the representatives without sorting (they are indices < n)
+    is_rep = np.zeros(n, dtype=bool)
+    is_rep[rep] = True
+    gid_of_index = np.cumsum(is_rep, dtype=np.int64) - 1
+    return gid_of_index[rep], int(gid_of_index[-1]) + 1
 
 
 def count_duplicates(db: SeqDB, *, include_genes: bool) -> int:

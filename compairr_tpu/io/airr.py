@@ -23,7 +23,7 @@ import numpy as np
 
 from ..config import Options
 from ..constants import MAP_AA, MAP_NT
-from ..core.db import GeneTables, SeqDB
+from ..core.db import GeneTables, LazyStrList, SeqDB
 from ..utils.progress import Logger, fatal
 
 _BAD = 0xFF  # translate-table marker for unmapped symbols
@@ -732,27 +732,20 @@ def _read_db_native(
     logger.progress_init("Indexing:         ", n)
     pad = 4 if opt.nucleotides else 20
     lmax = data["longest"] if n else 0
-    seqs = _pack_residues(data["residues"], data["lengths"], lmax, pad)
+    from .native import pack_rows_native
+
+    seqs = pack_rows_native(data["residues"], data["lengths"], lmax, pad)
+    if seqs is None:
+        seqs = _pack_residues(data["residues"], data["lengths"], lmax, pad)
     if n:
         logger.progress_update(n)
     logger.progress_done()
 
-    sid_off = data["sid_off"]
-    sid_blob = data["sid_blob"]
-    has_sid = data["has_sid"]
-    sequence_ids = [
-        sid_blob[sid_off[i]:sid_off[i + 1]].decode("latin-1")
-        if has_sid[i]
-        else None
-        for i in range(n)
-    ]
+    sequence_ids = LazyStrList(
+        data["sid_blob"], data["sid_off"], data["has_sid"]
+    )
     if opt.keep_columns_names:
-        keep_off = data["keep_off"]
-        keep_blob = data["keep_blob"]
-        keeps = [
-            keep_blob[keep_off[i]:keep_off[i + 1]].decode("latin-1")
-            for i in range(n)
-        ]
+        keeps = LazyStrList(data["keep_blob"], data["keep_off"])
     else:
         keeps = [None] * n
 

@@ -157,6 +157,27 @@ def load_library():
             ct.c_int,
         ]
 
+    if hasattr(lib, "pack_rows"):
+        lib.pack_rows.restype = None
+        lib.pack_rows.argtypes = [
+            ct.POINTER(ct.c_int8),
+            ct.POINTER(ct.c_int32),
+            ct.c_int64,
+            ct.c_int64,
+            ct.c_int8,
+            ct.POINTER(ct.c_int8),
+        ]
+    if hasattr(lib, "group_rows"):
+        lib.group_rows.restype = ct.c_int64
+        lib.group_rows.argtypes = [
+            ct.POINTER(ct.c_int8),
+            ct.c_int64,
+            ct.c_int64,
+            ct.POINTER(ct.c_int32),
+            ct.c_int32,
+            ct.POINTER(ct.c_int64),
+        ]
+
     if hasattr(lib, "cluster_bfs"):
         lib.cluster_bfs.restype = ct.c_int64
         lib.cluster_bfs.argtypes = [
@@ -457,3 +478,60 @@ class NativeResult:
             for i in range(lib.airr_j_count(s))
         ]
         return v, j
+
+
+def pack_rows_native(flat, lens, lmax: int, pad: int):
+    """Ragged-to-padded packing via native/pack_group.cpp.
+    Returns the packed [n, lmax] int8 array, or None when the native
+    library is unavailable (io/airr.py falls back to numpy)."""
+    if os.environ.get("COMPAIRR_NATIVE_IO") == "0":
+        return None
+    lib = load_library()
+    if lib is None or not hasattr(lib, "pack_rows"):
+        return None
+    flat = np.ascontiguousarray(flat, dtype=np.int8)
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    n = len(lens)
+    out = np.empty((n, lmax), dtype=np.int8)
+    lib.pack_rows(
+        flat.ctypes.data_as(ct.POINTER(ct.c_int8)),
+        lens.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        n,
+        lmax,
+        pad,
+        out.ctypes.data_as(ct.POINTER(ct.c_int8)),
+    )
+    return out
+
+
+def group_rows_native(seqs, meta):
+    """Exact-duplicate grouping (first-occurrence numbering) via the
+    native open-addressing table. seqs is [n, row_bytes] int8, meta
+    [n, m] int32 (may have m == 0). Returns (group_ids, n_groups) or
+    None when the native library is unavailable."""
+    if os.environ.get("COMPAIRR_NATIVE_IO") == "0":
+        return None
+    lib = load_library()
+    if lib is None or not hasattr(lib, "group_rows"):
+        return None
+    seqs = np.ascontiguousarray(seqs, dtype=np.int8)
+    meta = np.ascontiguousarray(meta, dtype=np.int32)
+    n = seqs.shape[0]
+    out = np.empty(n, dtype=np.int64)
+    m = 0 if meta.size == 0 else meta.shape[1]
+    mp = (
+        meta.ctypes.data_as(ct.POINTER(ct.c_int32))
+        if m
+        else ct.cast(None, ct.POINTER(ct.c_int32))
+    )
+    ng = lib.group_rows(
+        seqs.ctypes.data_as(ct.POINTER(ct.c_int8)),
+        n,
+        seqs.shape[1],
+        mp,
+        m,
+        out.ctypes.data_as(ct.POINTER(ct.c_int64)),
+    )
+    if ng < 0:
+        return None
+    return out, int(ng)

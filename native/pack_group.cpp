@@ -1,0 +1,126 @@
+// Ragged-to-padded packing and exact-duplicate grouping.
+//
+// pack_rows materialises fixed-width [n, lmax] rows from the parser's
+// flat residue arena — the analogue of the reference's "Indexing" pass
+// (/root/reference/src/db.cc:891-900), which only builds pointers; we
+// need dense rows for device upload.
+//
+// group_rows assigns every row a group id by first-occurrence order,
+// where two rows share a group iff their residues and meta columns are
+// identical — the duplicate criterion of hash_insert
+// (/root/reference/src/overlap.cc:63-128) and dedup's process()
+// (/root/reference/src/dedup.cc:60-132). Open addressing with linear
+// probing, like the reference's hashtable.cc, but keyed on the actual
+// bytes (no Zobrist needed: we never enumerate variants).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+
+#include <sys/mman.h>
+
+namespace {
+
+inline uint64_t mix64(uint64_t x) {
+  // splitmix64 finaliser
+  x += 0x9E3779B97F4A7C15ULL;
+  x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+  return x ^ (x >> 31);
+}
+
+inline uint64_t hash_row(const int8_t* seq, int64_t row_bytes,
+                         const int32_t* meta, int32_t m) {
+  uint64_t h = 0x2545F4914F6CDD1DULL;
+  int64_t k = 0;
+  for (; k + 8 <= row_bytes; k += 8) {
+    uint64_t w;
+    memcpy(&w, seq + k, 8);
+    h = mix64(h ^ w);
+  }
+  if (k < row_bytes) {
+    uint64_t w = 0;
+    memcpy(&w, seq + k, (size_t)(row_bytes - k));
+    h = mix64(h ^ w);
+  }
+  for (int32_t c = 0; c < m; ++c) {
+    h = mix64(h ^ (uint64_t)(uint32_t)meta[c]);
+  }
+  return h;
+}
+
+}  // namespace
+
+extern "C" {
+
+void pack_rows(const int8_t* flat, const int32_t* lens, int64_t n,
+               int64_t lmax, int8_t pad, int8_t* out) {
+  memset(out, pad, (size_t)(n * lmax));
+  const int8_t* src = flat;
+  int8_t* dst = out;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t len = lens[i];
+    memcpy(dst, src, (size_t)len);
+    src += len;
+    dst += lmax;
+  }
+}
+
+// seqs: [n, row_bytes] contiguous; meta: [n, m] contiguous int32
+// (v/j/rep columns under the active criterion). Writes group ids
+// (first-occurrence numbering) to group_out[n]; returns the number of
+// groups, or -1 on allocation failure.
+int64_t group_rows(const int8_t* seqs, int64_t n, int64_t row_bytes,
+                   const int32_t* meta, int32_t m, int64_t* group_out) {
+  if (n == 0) return 0;
+  if (n >= (int64_t)1 << 31) return -1;  // slot packs idx into 32 bits
+
+  uint64_t size = 1;
+  while ((int64_t)size < n || (double)n > 0.7 * (double)size) size <<= 1;
+  const uint64_t mask = size - 1;
+
+  // one 8-byte slot per bucket: high 32 bits = hash tag, low 32 bits =
+  // row index + 1 (0 = empty). One cache line touched per probe; the
+  // tag rejects nearly all non-matching occupants without dereferencing
+  // the row, and a memcmp verifies the rare survivors exactly.
+  // mmap so we can ask for huge pages: the probe pattern is uniform
+  // random over the table, and at Keck scale the table far exceeds
+  // what 4 KiB TLB entries cover.
+  size_t bytes = (size_t)size * sizeof(uint64_t);
+  uint64_t* slots = (uint64_t*)mmap(nullptr, bytes, PROT_READ | PROT_WRITE,
+                                    MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+  if (slots == MAP_FAILED) return -1;
+  madvise(slots, bytes, MADV_HUGEPAGE);
+
+  int64_t n_groups = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int8_t* row = seqs + i * row_bytes;
+    const int32_t* me = meta + i * m;
+    uint64_t h = hash_row(row, row_bytes, me, m);
+    const uint64_t tag = h & 0xffffffff00000000ULL;
+    uint64_t j = h & mask;
+    for (;;) {
+      uint64_t s = slots[j];
+      if (s == 0) {
+        slots[j] = tag | (uint64_t)(uint32_t)(i + 1);
+        group_out[i] = n_groups++;
+        break;
+      }
+      if ((s & 0xffffffff00000000ULL) == tag) {
+        int64_t other = (int64_t)(uint32_t)s - 1;
+        if (memcmp(seqs + other * row_bytes, row, (size_t)row_bytes) == 0 &&
+            (m == 0 || memcmp(meta + other * m, me,
+                              (size_t)m * sizeof(int32_t)) == 0)) {
+          group_out[i] = group_out[other];
+          break;
+        }
+      }
+      j = (j + 1) & mask;
+    }
+  }
+
+  munmap(slots, bytes);
+  return n_groups;
+}
+
+}  // extern "C"
