@@ -178,6 +178,31 @@ def load_library():
             ct.POINTER(ct.c_int64),
         ]
 
+    if hasattr(lib, "write_cluster_tsv"):
+        lib.write_cluster_tsv.restype = ct.c_int
+        lib.write_cluster_tsv.argtypes = [
+            ct.c_int,
+            ct.POINTER(ct.c_int64),
+            ct.c_int64,
+            ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_char_p),
+            ct.POINTER(ct.c_char_p),
+            ct.POINTER(ct.c_char_p),
+            ct.POINTER(ct.c_int8),
+            ct.c_int64,
+            ct.POINTER(ct.c_int32),
+            ct.c_char_p,
+            ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_uint8),
+            ct.POINTER(ct.c_uint8),
+        ]
+
     if hasattr(lib, "cluster_bfs"):
         lib.cluster_bfs.restype = ct.c_int64
         lib.cluster_bfs.argtypes = [
@@ -535,3 +560,85 @@ def group_rows_native(seqs, meta):
     if ng < 0:
         return None
     return out, int(ng)
+
+
+def write_cluster_native(outfile, db, order, sizes, seeds, nxt) -> bool:
+    """Stream cluster output rows through the native writer
+    (/root/reference/src/cluster.cc:427-455 semantics). Returns False
+    when unavailable — modes/cluster.py falls back to the Python loop."""
+    if os.environ.get("COMPAIRR_NATIVE_IO") == "0":
+        return False
+    lib = load_library()
+    if lib is None or not hasattr(lib, "write_cluster_tsv"):
+        return False
+    from ..core.db import LazyStrList
+
+    sid = db.sequence_ids
+    if isinstance(sid, LazyStrList):
+        sid_blob = sid._blob
+        sid_off = np.ascontiguousarray(sid._off, dtype=np.int64)
+        has = sid._has
+        has_sid = (
+            np.ascontiguousarray(has, dtype=np.uint8)
+            if has is not None
+            else None
+        )
+    else:
+        # Python-parser path: materialise a blob (small inputs only
+        # reach here in practice)
+        parts = [
+            (s if s is not None else "").encode("latin-1") for s in sid
+        ]
+        sid_off = np.zeros(len(parts) + 1, dtype=np.int64)
+        np.cumsum([len(p) for p in parts], out=sid_off[1:])
+        sid_blob = b"".join(parts)
+        has_sid = None
+    try:
+        outfile.flush()
+        fd = outfile.fileno()
+    except (AttributeError, OSError, ValueError):
+        return False
+    from ..constants import AA_CHARS, NT_CHARS
+
+    alphabet = (NT_CHARS if db.nucleotides else AA_CHARS) + "?"
+    seqs = np.ascontiguousarray(db.seqs, dtype=np.int8)
+    p64 = lambda x: x.ctypes.data_as(ct.POINTER(ct.c_int64))
+    p32 = lambda x: x.ctypes.data_as(ct.POINTER(ct.c_int32))
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    sizes = np.ascontiguousarray(sizes, dtype=np.int64)
+    seeds = np.ascontiguousarray(seeds, dtype=np.int64)
+    nxt = np.ascontiguousarray(nxt, dtype=np.int64)
+    counts = np.ascontiguousarray(db.counts, dtype=np.int64)
+    rep_no = np.ascontiguousarray(db.rep_no, dtype=np.int32)
+    v_no = np.ascontiguousarray(db.v_no, dtype=np.int32)
+    j_no = np.ascontiguousarray(db.j_no, dtype=np.int32)
+    lengths = np.ascontiguousarray(db.lengths, dtype=np.int32)
+    rc = lib.write_cluster_tsv(
+        fd,
+        p64(order),
+        len(order),
+        p64(sizes),
+        p64(seeds),
+        p64(nxt),
+        p32(rep_no),
+        p32(v_no),
+        p32(j_no),
+        p64(counts),
+        _label_array(db.repertoire_ids),
+        _label_array(db.genes.v_names),
+        _label_array(db.genes.j_names),
+        seqs.ctypes.data_as(ct.POINTER(ct.c_int8)),
+        seqs.shape[1],
+        p32(lengths),
+        alphabet.encode("ascii"),
+        p64(sid_off),
+        ct.cast(
+            ct.c_char_p(sid_blob), ct.POINTER(ct.c_uint8)
+        ),
+        (
+            has_sid.ctypes.data_as(ct.POINTER(ct.c_uint8))
+            if has_sid is not None
+            else ct.cast(None, ct.POINTER(ct.c_uint8))
+        ),
+    )
+    return rc == 0

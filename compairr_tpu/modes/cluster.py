@@ -94,8 +94,7 @@ def cluster(opt: Options, logger: Logger, outfile: IO[str]) -> None:
     nxt = np.full(n, NO, dtype=np.int64)
     native = cluster_bfs_native(adj_start, dst, clusterid, nxt)
     if native is not None:
-        cluster_seeds = native[0].tolist()
-        cluster_sizes = native[1].tolist()
+        cluster_seeds, cluster_sizes = native
         logger.progress_update(n)
     else:
         cluster_seeds = []
@@ -122,13 +121,15 @@ def cluster(opt: Options, logger: Logger, outfile: IO[str]) -> None:
                 member = nxt[member]
             cluster_seeds.append(seed)
             cluster_sizes.append(size)
+        cluster_seeds = np.asarray(cluster_seeds, dtype=np.int64)
+        cluster_sizes = np.asarray(cluster_sizes, dtype=np.int64)
     logger.progress_done()
 
     clustercount = len(cluster_seeds)
 
     # sort clusters by size descending, stable (cluster.cc:53-63,421-423)
     logger.progress_init("Sorting clusters: ", clustercount)
-    order = sorted(range(clustercount), key=lambda c: -cluster_sizes[c])
+    order = np.argsort(-cluster_sizes, kind="stable")
     logger.progress_done()
 
     # write clusters (cluster.cc:427-455)
@@ -137,6 +138,17 @@ def cluster(opt: Options, logger: Logger, outfile: IO[str]) -> None:
         "#cluster_no\tcluster_size\trepertoire_id\tsequence_id\t"
         f"duplicate_count\tv_call\tj_call\t{opt.seq_header}\n"
     )
+    from ..io.native import write_cluster_native
+
+    if write_cluster_native(
+        outfile, d, order, cluster_sizes, cluster_seeds, nxt
+    ):
+        logger.progress_update(n)
+        logger.progress_done()
+        logger.write("\n")
+        logger.write(f"Clusters:          {clustercount}\n")
+        return
+
     written = 0
     buf: list = []
     for out_no, c in enumerate(order, start=1):
