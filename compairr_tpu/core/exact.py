@@ -11,6 +11,8 @@ and keeps the TPU free for the approximate-matching grids.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 from .db import SeqDB
@@ -37,35 +39,43 @@ def group_ids(
     if n == 0:
         return np.zeros(0, dtype=np.int64), 0
 
-    # native open-addressing pass when available (~5x the numpy
-    # sort-based path at Keck scale). Padded rows are injective (the
-    # pad code is not a residue), so length needn't join the key.
-    from ..io.native import group_rows_native
-
     meta_cols: list[np.ndarray] = []
     if include_genes:
         meta_cols.append(db.v_no.astype(np.int32))
         meta_cols.append(db.j_no.astype(np.int32))
     if include_rep:
         meta_cols.append(db.rep_no.astype(np.int32))
-    nat_meta = (
+    meta = (
         np.ascontiguousarray(np.stack(meta_cols, axis=1))
         if meta_cols
         else np.zeros((n, 0), dtype=np.int32)
     )
-    nat = group_rows_native(db.seqs, nat_meta)
+    return group_rows(db.seqs, meta, db.pad_value)
+
+
+def group_rows(
+    seqs: np.ndarray, meta: np.ndarray, pad_value: int
+) -> tuple[np.ndarray, int]:
+    """Group identical (row, meta) records, ids numbered by first
+    occurrence. Padded rows are injective (the pad code is not a
+    residue), so length needn't join the key. Native open-addressing
+    pass when available (~5x the numpy sort-based path at Keck scale);
+    numpy hash-sort-verify fallback otherwise."""
+    n = len(seqs)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), 0
+
+    from ..io.native import group_rows_native
+
+    nat = group_rows_native(seqs, meta)
     if nat is not None:
         return nat
 
-    cols: list[np.ndarray] = [db.lengths.astype(np.int32)]
-    if include_genes:
-        cols.append(db.v_no.astype(np.int32))
-        cols.append(db.j_no.astype(np.int32))
-    if include_rep:
-        cols.append(db.rep_no.astype(np.int32))
-    if len(cols) % 2:
-        cols.append(np.zeros(n, dtype=np.int32))
-    meta = np.ascontiguousarray(np.stack(cols, axis=1))
+    if meta.shape[1] % 2:
+        meta = np.concatenate(
+            [meta, np.zeros((n, 1), dtype=np.int32)], axis=1
+        )
+    meta = np.ascontiguousarray(meta, dtype=np.int32)
 
     # hash-first exact grouping: a 64-bit wrapping polynomial hash per
     # row over 8-byte words, then exact verification only inside
@@ -73,13 +83,13 @@ def group_ids(
     # ~90 s at 24M rows; this is an order of magnitude cheaper and
     # provably identical (equal rows always share a hash; unequal rows
     # that collide are separated by the exact subset pass).
-    width = db.seqs.shape[1]
+    width = seqs.shape[1]
     w8 = -(-width // 8) * 8
-    if width == w8 and db.seqs.flags.c_contiguous:
-        seqs8 = db.seqs
+    if width == w8 and seqs.flags.c_contiguous:
+        seqs8 = seqs
     else:
-        seqs8 = np.full((n, w8), db.pad_value, dtype=np.int8)
-        seqs8[:, :width] = db.seqs
+        seqs8 = np.full((n, w8), pad_value, dtype=np.int8)
+        seqs8[:, :width] = seqs
     seq_words = seqs8.view("<u8")
     meta_words = meta.view("<u8")
 
@@ -124,10 +134,33 @@ def group_ids(
     return gid_of_index[rep], int(gid_of_index[-1]) + 1
 
 
-def count_duplicates(db: SeqDB, *, include_genes: bool) -> int:
+def count_duplicates(
+    db: SeqDB,
+    *,
+    include_genes: bool,
+    match_groups: Optional[np.ndarray] = None,
+) -> int:
     """Number of entries that have an earlier exact duplicate
     (same repertoire + genes-unless-ignored + sequence), i.e. the
     counts behind the reference's duplicate warnings
-    (/root/reference/src/overlap.cc:579-605,861-873)."""
+    (/root/reference/src/overlap.cc:579-605,861-873).
+
+    When the (sequence, genes) grouping was already computed (the d=0
+    match join needs the same one), pass it as match_groups: the
+    repertoire refinement then only groups int64 pairs instead of
+    re-hashing every residue row."""
+    if match_groups is not None:
+        return db.n - count_refined_groups(match_groups, db.rep_no)
     _, n_groups = group_ids(db, include_genes=include_genes, include_rep=True)
     return db.n - n_groups
+
+
+def count_refined_groups(groups: np.ndarray, extra: np.ndarray) -> int:
+    """Number of distinct (group, extra) pairs."""
+    n = len(groups)
+    if n == 0:
+        return 0
+    key = groups.astype(np.int64) * (int(extra.max()) + 1) + extra
+    rows = np.ascontiguousarray(key).view(np.int8).reshape(n, 8)
+    _, n_groups = group_rows(rows, np.zeros((n, 0), dtype=np.int32), 0)
+    return n_groups

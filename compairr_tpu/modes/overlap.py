@@ -204,13 +204,26 @@ def overlap(
     prefetch_find_pairs(d1, d2, spec)
 
     # ---- duplicate warnings (overlap.cc:838-874) ----
+    # at d=0 the match join needs the same (sequence, genes) grouping
+    # the warnings refine — compute it once here, reuse it in find_pairs
+    exact_groups = None
+    if opt.differences == 0:
+        from ..ops.engine import exact_match_groups
+
+        exact_groups = exact_match_groups(d1, d2, spec)
     if opt.differences <= MAXDIFF_HASH:
         logger.progress_init("Computing hashes: ", d1.n)
         logger.progress_update(d1.n)
         logger.progress_done()
         if not same_set:
             logger.progress_init("Check duplicates: ", d1.n)
-            dup1 = count_duplicates(d1, include_genes=not opt.ignore_genes)
+            dup1 = count_duplicates(
+                d1,
+                include_genes=not opt.ignore_genes,
+                match_groups=(
+                    exact_groups[0] if exact_groups is not None else None
+                ),
+            )
             logger.progress_update(d1.n)
             logger.progress_done()
             if dup1 > 0:
@@ -222,7 +235,13 @@ def overlap(
             logger.progress_update(d2.n)
             logger.progress_done()
         logger.progress_init("Hashing sequences:", d2.n)
-        dup2 = count_duplicates(d2, include_genes=not opt.ignore_genes)
+        dup2 = count_duplicates(
+            d2,
+            include_genes=not opt.ignore_genes,
+            match_groups=(
+                exact_groups[1] if exact_groups is not None else None
+            ),
+        )
         logger.progress_update(d2.n)
         logger.progress_done()
         if dup2 > 0:
@@ -235,7 +254,8 @@ def overlap(
         _write_pairs_header(opt, pairsfile)
 
     idx1, idx2, dist = find_pairs(
-        d1, d2, spec, logger, "Analysing:        "
+        d1, d2, spec, logger, "Analysing:        ",
+        exact_groups=exact_groups,
     )
 
     # reference single-thread emission order (seed-major, variant

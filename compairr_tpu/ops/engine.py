@@ -817,6 +817,8 @@ def prefetch_find_pairs(db1: SeqDB, db2: SeqDB, spec: MatchSpec) -> None:
     files so the multi-hundred-MB host->device transfer of a large run
     overlaps the host-side duplicate check instead of serialising
     after it."""
+    if spec.differences == 0:
+        return  # exact path is a host hash join; nothing to upload
     on_tpu = jax.default_backend() != "cpu"
     if not on_tpu:
         return
@@ -829,17 +831,114 @@ def prefetch_find_pairs(db1: SeqDB, db2: SeqDB, spec: MatchSpec) -> None:
             )
 
 
+def exact_match_groups(
+    db1: SeqDB, db2: SeqDB, spec: MatchSpec
+) -> tuple[np.ndarray, np.ndarray]:
+    """Union (sequence, v, j) grouping over both sets: two entries
+    match at d=0 iff they share a group. Shared by the duplicate-
+    warning refinement and the d=0 join."""
+    from ..core.exact import group_rows
+
+    def meta_of(db):
+        if spec.ignore_genes:
+            return np.zeros((db.n, 0), dtype=np.int32)
+        return np.ascontiguousarray(
+            np.stack(
+                [db.v_no.astype(np.int32), db.j_no.astype(np.int32)],
+                axis=1,
+            )
+        )
+
+    if db2 is db1:
+        ga, _ng = group_rows(db1.seqs, meta_of(db1), db1.pad_value)
+        return ga, ga
+    w = max(db1.seqs.shape[1], db2.seqs.shape[1])
+    db1.repad(w)
+    db2.repad(w)
+    seqs = np.concatenate([db1.seqs, db2.seqs], axis=0)
+    meta = np.concatenate([meta_of(db1), meta_of(db2)], axis=0)
+    g, _ng = group_rows(seqs, meta, db1.pad_value)
+    return g[: db1.n], g[db1.n :]
+
+
+def _find_pairs_exact(
+    db1: SeqDB,
+    db2: SeqDB,
+    spec: MatchSpec,
+    logger: Optional[Logger] = None,
+    progress_prompt: Optional[str] = None,
+    exact_groups: Optional[tuple[np.ndarray, np.ndarray]] = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """d=0 fast path: exact matching is a hash join on
+    (sequence, v, j) — the grid engine (and its multi-hundred-MB
+    device upload) is pure overhead for it. Semantics identical to the
+    tile path at d=0: pairs match iff sequences equal and genes equal
+    unless ignore_genes (/root/reference/src/overlap.cc:195-196);
+    exclude_self drops i==j self-pairs of a self-comparison
+    (/root/reference/src/cluster.cc:105)."""
+    n1, n2 = db1.n, db2.n
+    same = db2 is db1
+    if logger is not None and progress_prompt is not None:
+        logger.progress_init(progress_prompt, max(n1, 1))
+
+    if exact_groups is not None:
+        ga, gb = exact_groups
+    else:
+        ga, gb = exact_match_groups(db1, db2, spec)
+
+    # join: for every set-1 row, all set-2 rows in its group. Group
+    # extents come from a bincount (a searchsorted pair costs ~2x at
+    # Keck scale), and rows whose group has exactly one set-2 member —
+    # virtually all of a deduplicated repertoire — emit through a
+    # gather instead of the generic variable-repeat path.
+    ng = int(max(ga.max(initial=-1), gb.max(initial=-1))) + 1
+    order2 = np.argsort(gb, kind="stable")
+    gcnt = np.bincount(gb, minlength=ng)
+    gstart = np.cumsum(gcnt) - gcnt
+    starts = gstart[ga]
+    cnt = gcnt[ga]
+
+    one = cnt == 1
+    multi_rows = np.nonzero(~one)[0]
+    i1_parts = [np.nonzero(one)[0].astype(np.int64)]
+    i2_parts = [order2[starts[one]]]
+    if len(multi_rows):
+        mcnt = cnt[multi_rows]
+        total = int(mcnt.sum())
+        i1_parts.append(np.repeat(multi_rows, mcnt).astype(np.int64))
+        offs = np.cumsum(mcnt) - mcnt
+        ramp = np.arange(total, dtype=np.int64) - np.repeat(offs, mcnt)
+        i2_parts.append(order2[np.repeat(starts[multi_rows], mcnt) + ramp])
+    i1 = np.concatenate(i1_parts)
+    i2 = np.concatenate(i2_parts)
+    if spec.exclude_self and same:
+        keep = i1 != i2
+        i1, i2 = i1[keep], i2[keep]
+
+    if logger is not None and progress_prompt is not None:
+        logger.progress_update(max(n1, 1))
+        logger.progress_done()
+    return i1, i2, np.zeros(len(i1), dtype=np.int64)
+
+
 def find_pairs(
     db1: SeqDB,
     db2: SeqDB,
     spec: MatchSpec,
     logger: Optional[Logger] = None,
     progress_prompt: Optional[str] = None,
+    exact_groups: Optional[tuple[np.ndarray, np.ndarray]] = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Sparse path: all matching pairs under the spec.
 
     Returns (idx1, idx2, dist) in original indices, unordered.
+    exact_groups optionally carries a precomputed exact_match_groups
+    result (d=0 only).
     """
+    if spec.differences == 0:
+        return _find_pairs_exact(
+            db1, db2, spec, logger, progress_prompt, exact_groups
+        )
     on_tpu = jax.default_backend() != "cpu"
     tile, s_extract, lmax, by_vjl, use_indels = _pair_plan(
         db1, db2, spec, on_tpu
