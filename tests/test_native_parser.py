@@ -134,3 +134,57 @@ def test_error_message_parity(tmp_path, row, fragment):
     assert fragment in msgs[0]
     # identical final error text from both parsers
     assert msgs[0].splitlines()[-1] == msgs[1].splitlines()[-1]
+
+
+def test_group_rows_native_vs_numpy():
+    """Native open-addressing grouping == numpy hash-sort fallback,
+    including duplicate-heavy and collision-prone inputs."""
+    import numpy as np
+
+    from compairr_tpu.core.exact import group_rows
+    from compairr_tpu.io.native import group_rows_native
+
+    rng = np.random.default_rng(5)
+    for n, width, mcols, dup in [
+        (1, 8, 0, False),
+        (257, 11, 2, True),
+        (4096, 24, 3, True),
+        (5000, 22, 0, False),
+    ]:
+        seqs = rng.integers(0, 4, size=(n, width), endpoint=False).astype(
+            np.int8
+        )
+        if dup:
+            # force many exact duplicates
+            src = rng.integers(0, n, size=n // 2)
+            seqs[: n // 2] = seqs[src]
+        meta = rng.integers(0, 3, size=(n, mcols)).astype(np.int32)
+        if dup and mcols:
+            meta[: n // 2] = meta[src]
+        nat = group_rows_native(np.ascontiguousarray(seqs),
+                                np.ascontiguousarray(meta))
+        assert nat is not None
+        import os
+
+        os.environ["COMPAIRR_NATIVE_IO"] = "0"
+        try:
+            ref = group_rows(seqs, meta, 20)
+        finally:
+            os.environ.pop("COMPAIRR_NATIVE_IO", None)
+        np.testing.assert_array_equal(nat[0], ref[0])
+        assert nat[1] == ref[1]
+
+
+def test_pack_rows_native_vs_numpy():
+    import numpy as np
+
+    from compairr_tpu.io.airr import _pack_residues
+    from compairr_tpu.io.native import pack_rows_native
+
+    rng = np.random.default_rng(9)
+    lens = rng.integers(1, 23, size=997).astype(np.int32)
+    flat = rng.integers(0, 20, size=int(lens.sum())).astype(np.int8)
+    nat = pack_rows_native(flat, lens, 22, 20)
+    assert nat is not None
+    ref = _pack_residues(flat, lens, 22, 20)
+    np.testing.assert_array_equal(nat, ref)
