@@ -967,6 +967,20 @@ def find_pairs(
     out1: list[np.ndarray] = []
     out2: list[np.ndarray] = []
 
+    # self-comparison diagonal fast path: every sequence matches itself
+    # at any d, so a same-set run excludes i==i pairs on device (they
+    # dominate the extraction volume — 24M of 24.6M matched pairs at
+    # Keck scale) and appends them here for free.
+    add_diagonal = db2 is db1 and not spec.exclude_self
+    if add_diagonal:
+        from dataclasses import replace
+
+        spec = replace(spec, exclude_self=True)
+        if db1.n:
+            diag = np.arange(db1.n, dtype=np.int64)
+            out1.append(diag)
+            out2.append(diag)
+
     if w:
         dummy = np.array([[npad_a - tile, npad_b - tile]], dtype=np.int32)
 

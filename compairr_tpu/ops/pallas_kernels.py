@@ -791,6 +791,22 @@ def _pack_residues(seqs_i8: np.ndarray) -> np.ndarray:
     return packed.astype(np.int32)
 
 
+def _packed_upload(db, m: int, lpad: int, pad_val: int) -> np.ndarray:
+    """[m, nw] int32 packed residues for upload: native single pass
+    when available, else the staging-copy + numpy pack."""
+    from ..io.native import pack5_rows_native
+
+    nw = -(-lpad // RES_PER_WORD)
+    nat = pack5_rows_native(db.seqs, m, lpad, nw, pad_val)
+    if nat is not None:
+        return nat
+    n = db.n
+    seqs = np.full((m, lpad), pad_val, dtype=np.int8)
+    if n:
+        seqs[:n, : db.seqs.shape[1]] = db.seqs
+    return _pack_residues(seqs)
+
+
 def _unpack_residues(packed, lmax: int):
     """Device half: [N, nw] int32 -> [N, lmax] int8."""
     npad, nw = packed.shape
@@ -960,14 +976,11 @@ def device_rows_raw(db, order: np.ndarray, npad: int, lpad: int,
     n = db.n
     pad_val = int(db.pad_value)
     m = _canon_src(n + 1)
-    seqs = np.full((m, lpad), pad_val, dtype=np.int8)
-    if n:
-        seqs[:n, : db.seqs.shape[1]] = db.seqs
     order_full = np.full(npad, n, dtype=np.int32)
     order_full[:n] = order
     dev = jax.device_put
     return _gather_sparse_fn(pad_val, lpad, indels)(
-        dev(_pack_residues(seqs)),
+        dev(_packed_upload(db, m, lpad, pad_val)),
         dev(_shrink(db.lengths, -1, m)),
         dev(_shrink(db.v_no, -1, m)),
         dev(_shrink(db.j_no, -1, m)),
@@ -996,16 +1009,13 @@ def device_args_raw(db, order: np.ndarray, npad: int, lpad: int,
     n = db.n
     pad_val = int(db.pad_value)
     m = _canon_src(n + 1)
-    seqs = np.full((m, lpad), pad_val, dtype=np.int8)
-    if n:
-        seqs[:n, : db.seqs.shape[1]] = db.seqs
     cnt = np.zeros(m, dtype=np.float32)
     cnt[:n] = db.counts
     order_full = np.full(npad, n, dtype=np.int32)
     order_full[:n] = order
     dev = jax.device_put
     a, b = _gather_derive_fn(pad_val, lpad, indels)(
-        dev(_pack_residues(seqs)),
+        dev(_packed_upload(db, m, lpad, pad_val)),
         dev(_shrink(db.lengths, -1, m)),
         dev(_shrink(db.v_no, -1, m)),
         dev(_shrink(db.j_no, -1, m)),

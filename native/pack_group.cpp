@@ -66,6 +66,49 @@ void pack_rows(const int8_t* flat, const int32_t* lens, int64_t n,
   }
 }
 
+// 5-bit residue packing for device upload (the host half of
+// ops/pallas_kernels._pack_residues): six residues per int32 word.
+// Output is [m, nw]; row i < n takes its residues from seqs[i]
+// (columns >= w read as pad, matching the pad-extended staging
+// buffer), rows >= n are all-pad sentinels. Residue codes (aa 0..20
+// incl. pad, nt 0..4) fit 5 bits. Columns >= lpad pack as zero.
+void pack5_rows(const int8_t* seqs, int64_t n, int64_t w, int64_t m,
+                int64_t lpad, int64_t nw, int8_t pad, int32_t* out) {
+  // precompute the all-pad sentinel row once
+  int32_t sentinel[64];
+  if (nw > 64) return;
+  for (int64_t k = 0; k < nw; ++k) {
+    uint32_t word = 0;
+    for (int64_t j = 0; j < 6; ++j) {
+      int64_t c = k * 6 + j;
+      uint32_t r = (c < lpad) ? (uint32_t)(uint8_t)pad : 0u;
+      word |= (r & 31u) << (5 * j);
+    }
+    sentinel[k] = (int32_t)word;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    const int8_t* row = seqs + i * w;
+    int32_t* o = out + i * nw;
+    for (int64_t k = 0; k < nw; ++k) {
+      uint32_t word = 0;
+      for (int64_t j = 0; j < 6; ++j) {
+        int64_t c = k * 6 + j;
+        uint32_t r;
+        if (c < w)
+          r = (uint32_t)(uint8_t)row[c];
+        else if (c < lpad)
+          r = (uint32_t)(uint8_t)pad;
+        else
+          r = 0;
+        word |= (r & 31u) << (5 * j);
+      }
+      o[k] = (int32_t)word;
+    }
+  }
+  for (int64_t i = n; i < m; ++i)
+    memcpy(out + i * nw, sentinel, (size_t)nw * sizeof(int32_t));
+}
+
 // seqs: [n, row_bytes] contiguous; meta: [n, m] contiguous int32
 // (v/j/rep columns under the active criterion). Writes group ids
 // (first-occurrence numbering) to group_out[n]; returns the number of
