@@ -28,6 +28,7 @@ Two result paths:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import lru_cache
 from typing import Optional
@@ -819,6 +820,11 @@ def prefetch_find_pairs(db1: SeqDB, db2: SeqDB, spec: MatchSpec) -> None:
     after it."""
     if spec.differences == 0:
         return  # exact path is a host hash join; nothing to upload
+    if not (spec.indels and spec.differences == 1):
+        # pigeonhole grouping handles these runs on host; only a
+        # candidate-budget overflow reaches the device (rare, and the
+        # tile path then creates its own inputs)
+        return
     on_tpu = jax.default_backend() != "cpu"
     if not on_tpu:
         return
@@ -886,11 +892,25 @@ def _find_pairs_exact(
     else:
         ga, gb = exact_match_groups(db1, db2, spec)
 
-    # join: for every set-1 row, all set-2 rows in its group. Group
-    # extents come from a bincount (a searchsorted pair costs ~2x at
-    # Keck scale), and rows whose group has exactly one set-2 member —
-    # virtually all of a deduplicated repertoire — emit through a
-    # gather instead of the generic variable-repeat path.
+    i1, i2 = _join_groups(ga, gb)
+    if spec.exclude_self and same:
+        keep = i1 != i2
+        i1, i2 = i1[keep], i2[keep]
+
+    if logger is not None and progress_prompt is not None:
+        logger.progress_update(max(n1, 1))
+        logger.progress_done()
+    return i1, i2, np.zeros(len(i1), dtype=np.int64)
+
+
+def _join_groups(
+    ga: np.ndarray, gb: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """All (set-1 row, set-2 row) pairs sharing a group id. Group
+    extents come from a bincount (a searchsorted pair costs ~2x at
+    Keck scale), and rows whose group has exactly one set-2 member —
+    virtually all of a deduplicated repertoire — emit through a
+    gather instead of the generic variable-repeat path."""
     ng = int(max(ga.max(initial=-1), gb.max(initial=-1))) + 1
     order2 = np.argsort(gb, kind="stable")
     gcnt = np.bincount(gb, minlength=ng)
@@ -909,16 +929,141 @@ def _find_pairs_exact(
         offs = np.cumsum(mcnt) - mcnt
         ramp = np.arange(total, dtype=np.int64) - np.repeat(offs, mcnt)
         i2_parts.append(order2[np.repeat(starts[multi_rows], mcnt) + ramp])
-    i1 = np.concatenate(i1_parts)
-    i2 = np.concatenate(i2_parts)
-    if spec.exclude_self and same:
-        keep = i1 != i2
-        i1, i2 = i1[keep], i2[keep]
+    return np.concatenate(i1_parts), np.concatenate(i2_parts)
 
-    if logger is not None and progress_prompt is not None:
-        logger.progress_update(max(n1, 1))
+
+# Candidate budget for the pigeonhole path: beyond this many candidate
+# pairs (duplicate- or motif-heavy data) the dense tile engine wins.
+PIGEONHOLE_MAX_CANDIDATES = 1 << 26
+
+
+def _piece_rows(db: SeqDB, p: int, pieces: int, w_max: int) -> np.ndarray:
+    """[n, w_max] int8 view of each row's p-th length-proportional
+    piece, padded with the pad code. Chunked gather to bound the int64
+    index temporaries at Keck scale."""
+    n = db.n
+    lens = db.lengths.astype(np.int64)
+    out = np.empty((n, w_max), dtype=np.int8)
+    ar = np.arange(w_max, dtype=np.int64)
+    W = db.seqs.shape[1]
+    for s0 in range(0, n, 1 << 22):
+        s1 = min(s0 + (1 << 22), n)
+        ls = lens[s0:s1]
+        starts = (ls * p) // pieces
+        ends = (ls * (p + 1)) // pieces
+        idx = starts[:, None] + ar[None, :]
+        valid = idx < ends[:, None]
+        np.clip(idx, 0, W - 1, out=idx)
+        chunk = np.take_along_axis(db.seqs[s0:s1], idx, axis=1)
+        chunk[~valid] = db.pad_value
+        out[s0:s1] = chunk
+    return out
+
+
+def _find_pairs_pigeonhole(
+    db1: SeqDB,
+    db2: SeqDB,
+    spec: MatchSpec,
+    logger: Optional[Logger] = None,
+    progress_prompt: Optional[str] = None,
+) -> Optional[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Substitution-only d>=1 matching by exact piece grouping.
+
+    Any pair at Hamming distance <= d over equal-length sequences
+    leaves at least one of d+1 length-proportional pieces untouched,
+    so grouping rows d+1 times — once per piece, on (piece residues,
+    length, v, j) — yields a candidate superset, verified here by a
+    vectorised Hamming pass. This is the host-side analogue of the
+    reference's variant hashing (/root/reference/src/variants.cc): it
+    finds the same pairs without enumerating the O(L^d A^d) variant
+    space or shipping every row through the device grid.
+
+    Returns None when candidates exceed the budget (duplicate-heavy
+    data) — the caller falls back to the dense tile engine, whose cost
+    does not grow with match density.
+    """
+    from ..core.exact import group_rows
+
+    pieces = spec.differences + 1
+    n1, n2 = db1.n, db2.n
+    same = db2 is db1
+    started = logger is not None and progress_prompt is not None
+    if started:
+        logger.progress_init(progress_prompt, pieces + 1)
+    if n1 == 0 or n2 == 0:
+        z = np.zeros(0, dtype=np.int64)
+        if started:
+            logger.progress_done()
+        return z, z, z
+
+    lmax = int(max(db1.longest, db2.longest, 1))
+    w_max = -(-lmax // pieces)
+
+    def meta_of(db):
+        cols = [db.lengths.astype(np.int32)]
+        if not spec.ignore_genes:
+            cols.append(db.v_no.astype(np.int32))
+            cols.append(db.j_no.astype(np.int32))
+        return np.ascontiguousarray(np.stack(cols, axis=1))
+
+    if same:
+        metas = meta_of(db1)
+    else:
+        metas = np.concatenate([meta_of(db1), meta_of(db2)], axis=0)
+
+    cand_keys: list[np.ndarray] = []
+    budget = PIGEONHOLE_MAX_CANDIDATES
+    for p in range(pieces):
+        if same:
+            rows = _piece_rows(db1, p, pieces, w_max)
+        else:
+            rows = np.concatenate(
+                [
+                    _piece_rows(db1, p, pieces, w_max),
+                    _piece_rows(db2, p, pieces, w_max),
+                ],
+                axis=0,
+            )
+        g, _ng = group_rows(rows, metas, db1.pad_value)
+        del rows
+        ga, gb = (g, g) if same else (g[:n1], g[n1:])
+
+        # candidate volume guard before emission
+        ng = int(g.max()) + 1
+        gcnt_b = np.bincount(gb, minlength=ng)
+        est = int(gcnt_b[ga].sum())
+        budget -= est
+        if budget < 0:
+            return None
+
+        i1, i2 = _join_groups(ga, gb)
+        if same:
+            keep = i1 != i2
+            i1, i2 = i1[keep], i2[keep]
+        cand_keys.append(i1 * np.int64(n2) + i2)
+        if started:
+            logger.progress_update(p + 1)
+
+    keys = np.unique(np.concatenate(cand_keys))
+    i1 = keys // n2
+    i2 = keys - i1 * n2
+
+    # exact verification: genes/length already agree by construction,
+    # only the Hamming bound needs checking
+    w = min(db1.seqs.shape[1], db2.seqs.shape[1])
+    dist = np.empty(len(i1), dtype=np.int64)
+    for s0 in range(0, len(i1), 1 << 20):
+        sel = slice(s0, min(s0 + (1 << 20), len(i1)))
+        dist[sel] = (
+            db1.seqs[i1[sel], :w] != db2.seqs[i2[sel], :w]
+        ).sum(axis=1)
+    ok = dist <= spec.differences
+    i1, i2, dist = i1[ok], i2[ok], dist[ok]
+
+    if started:
+        logger.progress_update(pieces + 1)
         logger.progress_done()
-    return i1, i2, np.zeros(len(i1), dtype=np.int64)
+    return i1, i2, dist
 
 
 def find_pairs(
@@ -939,6 +1084,36 @@ def find_pairs(
         return _find_pairs_exact(
             db1, db2, spec, logger, progress_prompt, exact_groups
         )
+
+    # self-comparison diagonal fast path: every sequence matches itself
+    # at any d, so a same-set run excludes i==i pairs from the search
+    # (they dominate the extraction volume — 24M of the 24.6M matched
+    # pairs at Keck scale) and appends them afterwards for free.
+    add_diagonal = db2 is db1 and not spec.exclude_self
+    if add_diagonal:
+        from dataclasses import replace
+
+        spec = replace(spec, exclude_self=True)
+
+    def with_diagonal(i1, i2, dist):
+        if add_diagonal and db1.n:
+            diag = np.arange(db1.n, dtype=np.int64)
+            i1 = np.concatenate([diag, i1])
+            i2 = np.concatenate([diag, i2])
+            dist = np.concatenate(
+                [np.zeros(db1.n, dtype=np.int64), dist]
+            )
+        return i1, i2, dist
+
+    if not (spec.indels and spec.differences == 1) and os.environ.get(
+        "COMPAIRR_PIGEONHOLE"
+    ) != "0":
+        ph = _find_pairs_pigeonhole(
+            db1, db2, spec, logger, progress_prompt
+        )
+        if ph is not None:
+            return with_diagonal(*ph)
+
     on_tpu = jax.default_backend() != "cpu"
     tile, s_extract, lmax, by_vjl, use_indels = _pair_plan(
         db1, db2, spec, on_tpu
@@ -966,20 +1141,6 @@ def find_pairs(
 
     out1: list[np.ndarray] = []
     out2: list[np.ndarray] = []
-
-    # self-comparison diagonal fast path: every sequence matches itself
-    # at any d, so a same-set run excludes i==i pairs on device (they
-    # dominate the extraction volume — 24M of 24.6M matched pairs at
-    # Keck scale) and appends them here for free.
-    add_diagonal = db2 is db1 and not spec.exclude_self
-    if add_diagonal:
-        from dataclasses import replace
-
-        spec = replace(spec, exclude_self=True)
-        if db1.n:
-            diag = np.arange(db1.n, dtype=np.int64)
-            out1.append(diag)
-            out2.append(diag)
 
     if w:
         dummy = np.array([[npad_a - tile, npad_b - tile]], dtype=np.int32)
@@ -1102,6 +1263,6 @@ def find_pairs(
     if out1:
         i1 = np.concatenate(out1)
         i2 = np.concatenate(out2)
-        return i1, i2, _pair_distances(db1, db2, i1, i2)
+        return with_diagonal(i1, i2, _pair_distances(db1, db2, i1, i2))
     z = np.zeros(0, dtype=np.int64)
-    return z, z, z.copy()
+    return with_diagonal(z, z, z.copy())

@@ -133,3 +133,38 @@ def test_engine_matches_oracle(d, indels, genes, self_ex):
             )
         else:
             assert dd == 1
+
+
+def test_pigeonhole_vs_tile_paths():
+    """The pigeonhole candidate path and the tile engine must find the
+    identical pair set for substitution-only specs."""
+    import os
+
+    def rand_db(n, seed):
+        rng = random.Random(seed)
+        seqs = []
+        for _ in range(n):
+            L = rng.randint(1, 12)
+            seqs.append([rng.randrange(4) for _ in range(L)])
+        vs = [rng.randrange(3) for _ in seqs]
+        js = [rng.randrange(2) for _ in seqs]
+        return make_db(seqs, vs, js)
+
+    db = rand_db(1200, 21)
+    db2 = rand_db(700, 22)
+    for d in (1, 2, 3):
+        for other, excl in ((db, False), (db, True), (db2, False)):
+            spec = MatchSpec(differences=d, indels=False,
+                             ignore_genes=False, exclude_self=excl)
+            ph = find_pairs(db, other, spec)
+            os.environ["COMPAIRR_PIGEONHOLE"] = "0"
+            try:
+                tl = find_pairs(db, other, spec)
+            finally:
+                os.environ.pop("COMPAIRR_PIGEONHOLE", None)
+            kp = np.sort(ph[0] * (1 << 32) + ph[1])
+            kt = np.sort(tl[0] * (1 << 32) + tl[1])
+            np.testing.assert_array_equal(
+                kp, kt, err_msg=f"d={d} excl={excl}"
+            )
+            np.testing.assert_array_equal(np.sort(ph[2]), np.sort(tl[2]))
