@@ -1028,10 +1028,14 @@ def _find_pairs_pigeonhole(
         del rows
         ga, gb = (g, g) if same else (g[:n1], g[n1:])
 
-        # candidate volume guard before emission
+        # candidate volume guard before emission; a same-set run's n
+        # guaranteed self-hits are free (filtered below), only the
+        # extras count against the budget
         ng = int(g.max()) + 1
         gcnt_b = np.bincount(gb, minlength=ng)
         est = int(gcnt_b[ga].sum())
+        if same:
+            est -= n1
         budget -= est
         if budget < 0:
             return None
