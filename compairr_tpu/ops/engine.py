@@ -820,7 +820,9 @@ def prefetch_find_pairs(db1: SeqDB, db2: SeqDB, spec: MatchSpec) -> None:
     after it."""
     if spec.differences == 0:
         return  # exact path is a host hash join; nothing to upload
-    if not (spec.indels and spec.differences == 1):
+    if not (spec.indels and spec.differences == 1) and os.environ.get(
+        "COMPAIRR_PIGEONHOLE", "1"
+    ) != "0":
         # pigeonhole grouping handles these runs on host; only a
         # candidate-budget overflow reaches the device (rare, and the
         # tile path then creates its own inputs)
@@ -1070,6 +1072,234 @@ def _find_pairs_pigeonhole(
     return i1, i2, dist
 
 
+def _role_piece_rows(
+    db: SeqDB, side: str, w_max: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Virtual rows for the one-indel pigeonhole: each physical row
+    appears twice, once as the shorter member of a cross-length pair
+    (pairlen = len) and once as the longer (pairlen = len - 1). The
+    piece is the first (side='prefix') or last (side='suffix')
+    h = floor((pairlen+1)/2) residues — a single insertion at position
+    p in the longer sequence leaves the prefix intact when p >= h and
+    the suffix intact when p <= pairlen - h, and with this h one of
+    the two always holds. Returns (piece_rows [2n, w_max], pairlen
+    [2n])."""
+    n = db.n
+    lens = db.lengths.astype(np.int64)
+    pairlen = np.concatenate([lens, lens - 1])
+    h = (pairlen + 1) // 2
+    out = np.full((2 * n, w_max), db.pad_value, dtype=np.int8)
+    ar = np.arange(w_max, dtype=np.int64)
+    W = db.seqs.shape[1]
+    both_lens = np.concatenate([lens, lens])
+    for s0 in range(0, 2 * n, 1 << 22):
+        s1 = min(s0 + (1 << 22), 2 * n)
+        hs = h[s0:s1]
+        if side == "prefix":
+            idx = np.broadcast_to(ar[None, :], (s1 - s0, w_max)).copy()
+        else:
+            idx = (both_lens[s0:s1] - hs)[:, None] + ar[None, :]
+        valid = ar[None, :] < hs[:, None]
+        np.clip(idx, 0, W - 1, out=idx)
+        phys = np.arange(s0, s1) % n
+        chunk = np.take_along_axis(db.seqs[phys], idx, axis=1)
+        chunk[~valid] = db.pad_value
+        out[s0:s1] = chunk
+    return out, pairlen.astype(np.int32)
+
+
+def _find_pairs_pigeonhole_indel(
+    db1: SeqDB,
+    db2: SeqDB,
+    spec: MatchSpec,
+    logger: Optional[Logger] = None,
+    progress_prompt: Optional[str] = None,
+) -> Optional[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """d=1 with indels: candidates = equal-length half groupings (the
+    substitution component) plus prefix/suffix role groupings (the
+    cross-length component), verified exactly. The one-indel criterion
+    is check_variant's deletion test (/root/reference/src/variants.cc:197-216):
+    common prefix + common suffix >= min(len)."""
+    from ..core.exact import group_rows
+
+    n1, n2 = db1.n, db2.n
+    same = db2 is db1
+    started = logger is not None and progress_prompt is not None
+    if started:
+        logger.progress_init(progress_prompt, 5)
+    if n1 == 0 or n2 == 0:
+        z = np.zeros(0, dtype=np.int64)
+        if started:
+            logger.progress_done()
+        return z, z, z
+
+    lmax = int(max(db1.longest, db2.longest, 1))
+    budget = PIGEONHOLE_MAX_CANDIDATES
+    cand_keys: list[np.ndarray] = []
+    done = 0
+
+    def genes_of(db):
+        if spec.ignore_genes:
+            return np.zeros((db.n, 0), dtype=np.int32)
+        return np.stack(
+            [db.v_no.astype(np.int32), db.j_no.astype(np.int32)], axis=1
+        )
+
+    def add_candidates(g, n_virt1, virt_to_phys1, virt_to_phys2,
+                       self_free):
+        nonlocal budget
+        ga = g[:n_virt1]
+        gb = g if same else g[n_virt1:]
+        ng = int(g.max()) + 1
+        gcnt_b = np.bincount(gb, minlength=ng)
+        est = int(gcnt_b[ga].sum())
+        if self_free:
+            est -= len(ga)
+        budget -= est
+        if budget < 0:
+            return False
+        i1, i2 = _join_groups(ga, gb)
+        p1 = virt_to_phys1[i1]
+        p2 = virt_to_phys2[i2]
+        if same:
+            keep = p1 != p2
+            p1, p2 = p1[keep], p2[keep]
+        cand_keys.append(p1 * np.int64(n2) + p2)
+        return True
+
+    # equal-length halves (substitution component incl. d=0)
+    w_half = -(-lmax // 2)
+    phys1 = np.arange(n1, dtype=np.int64)
+    phys2 = np.arange(n2, dtype=np.int64)
+    for p in range(2):
+        if same:
+            rows = _piece_rows(db1, p, 2, w_half)
+            meta = np.ascontiguousarray(
+                np.concatenate(
+                    [db1.lengths.astype(np.int32)[:, None],
+                     genes_of(db1)],
+                    axis=1,
+                )
+            )
+        else:
+            rows = np.concatenate(
+                [
+                    _piece_rows(db1, p, 2, w_half),
+                    _piece_rows(db2, p, 2, w_half),
+                ],
+                axis=0,
+            )
+            meta = np.ascontiguousarray(
+                np.concatenate(
+                    [
+                        np.concatenate(
+                            [db1.lengths.astype(np.int32)[:, None],
+                             genes_of(db1)],
+                            axis=1,
+                        ),
+                        np.concatenate(
+                            [db2.lengths.astype(np.int32)[:, None],
+                             genes_of(db2)],
+                            axis=1,
+                        ),
+                    ],
+                    axis=0,
+                )
+            )
+        g, _ng = group_rows(rows, meta, db1.pad_value)
+        del rows
+        if not add_candidates(g, n1, phys1, phys2, self_free=same):
+            return None
+        done += 1
+        if started:
+            logger.progress_update(done)
+
+    # cross-length prefix/suffix role groupings
+    w_role = (lmax + 2) // 2
+    vp1 = np.concatenate([phys1, phys1])
+    vp2 = np.concatenate([phys2, phys2])
+    for side in ("prefix", "suffix"):
+        if same:
+            rows, pairlen = _role_piece_rows(db1, side, w_role)
+            meta = np.ascontiguousarray(
+                np.concatenate(
+                    [pairlen[:, None],
+                     np.tile(genes_of(db1), (2, 1))],
+                    axis=1,
+                )
+            )
+        else:
+            rows1, pl1 = _role_piece_rows(db1, side, w_role)
+            rows2, pl2 = _role_piece_rows(db2, side, w_role)
+            rows = np.concatenate([rows1, rows2], axis=0)
+            meta = np.ascontiguousarray(
+                np.concatenate(
+                    [
+                        np.concatenate(
+                            [pl1[:, None],
+                             np.tile(genes_of(db1), (2, 1))],
+                            axis=1,
+                        ),
+                        np.concatenate(
+                            [pl2[:, None],
+                             np.tile(genes_of(db2), (2, 1))],
+                            axis=1,
+                        ),
+                    ],
+                    axis=0,
+                )
+            )
+        g, _ng = group_rows(rows, meta, db1.pad_value)
+        del rows
+        # same-set role joins include each virtual row's own hit
+        if not add_candidates(g, 2 * n1, vp1, vp2, self_free=same):
+            return None
+        done += 1
+        if started:
+            logger.progress_update(done)
+
+    keys = np.unique(np.concatenate(cand_keys))
+    i1 = keys // n2
+    i2 = keys - i1 * n2
+
+    # exact verification: equal lengths -> Hamming <= 1; lengths off
+    # by one -> common prefix + common suffix >= min(len); other
+    # length gaps are impossible by construction but rejected anyway
+    l1 = db1.lengths[i1].astype(np.int64)
+    l2 = db2.lengths[i2].astype(np.int64)
+    w = min(db1.seqs.shape[1], db2.seqs.shape[1])
+    dist = np.ones(len(i1), dtype=np.int64)
+    ok = np.zeros(len(i1), dtype=bool)
+    for s0 in range(0, len(i1), 1 << 20):
+        sel = slice(s0, min(s0 + (1 << 20), len(i1)))
+        a = db1.seqs[i1[sel], :w]
+        b = db2.seqs[i2[sel], :w]
+        la = l1[sel]
+        lb = l2[sel]
+        eq_len = la == lb
+        hd = (a != b).sum(axis=1)
+        cross = np.abs(la - lb) == 1
+        lmin = np.minimum(la, lb)
+        eq = a == b
+        pre = (np.cumprod(eq, axis=1) != 0).sum(axis=1)
+        # suffix: compare right-aligned via per-row reversed gathers
+        ar = np.arange(w, dtype=np.int64)
+        ia = np.clip(la[:, None] - 1 - ar[None, :], 0, w - 1)
+        ib = np.clip(lb[:, None] - 1 - ar[None, :], 0, w - 1)
+        ra = np.take_along_axis(a, ia, axis=1)
+        rb = np.take_along_axis(b, ib, axis=1)
+        req = (ra == rb) & (ar[None, :] < lmin[:, None])
+        suf = (np.cumprod(req, axis=1) != 0).sum(axis=1)
+        ok[sel] = (eq_len & (hd <= 1)) | (cross & (pre + suf >= lmin))
+        dist[sel] = np.where(eq_len, hd, 1)
+    i1, i2, dist = i1[ok], i2[ok], dist[ok]
+
+    if started:
+        logger.progress_update(5)
+        logger.progress_done()
+    return i1, i2, dist
+
+
 def find_pairs(
     db1: SeqDB,
     db2: SeqDB,
@@ -1109,12 +1339,26 @@ def find_pairs(
             )
         return i1, i2, dist
 
-    if not (spec.indels and spec.differences == 1) and os.environ.get(
-        "COMPAIRR_PIGEONHOLE"
-    ) != "0":
-        ph = _find_pairs_pigeonhole(
-            db1, db2, spec, logger, progress_prompt
-        )
+    # routing: substitution-only sparse runs go through the pigeonhole
+    # host path; indel runs keep the Pallas tile engine (the doubled
+    # role-grouping volume makes the host path slower there — measured
+    # 226 s vs 134 s at Keck scale). COMPAIRR_PIGEONHOLE=0 forces the
+    # tile engine everywhere, =all forces the host path for indels too
+    # (the cross-check in tests/test_oracle.py uses both).
+    mode = os.environ.get("COMPAIRR_PIGEONHOLE", "1")
+    if mode != "0":
+        if spec.indels and spec.differences == 1:
+            ph = (
+                _find_pairs_pigeonhole_indel(
+                    db1, db2, spec, logger, progress_prompt
+                )
+                if mode == "all"
+                else None
+            )
+        else:
+            ph = _find_pairs_pigeonhole(
+                db1, db2, spec, logger, progress_prompt
+            )
         if ph is not None:
             return with_diagonal(*ph)
 

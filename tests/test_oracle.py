@@ -152,11 +152,15 @@ def test_pigeonhole_vs_tile_paths():
 
     db = rand_db(1200, 21)
     db2 = rand_db(700, 22)
-    for d in (1, 2, 3):
+    for d, indels in ((1, False), (2, False), (3, False), (1, True)):
         for other, excl in ((db, False), (db, True), (db2, False)):
-            spec = MatchSpec(differences=d, indels=False,
+            spec = MatchSpec(differences=d, indels=indels,
                              ignore_genes=False, exclude_self=excl)
-            ph = find_pairs(db, other, spec)
+            os.environ["COMPAIRR_PIGEONHOLE"] = "all"
+            try:
+                ph = find_pairs(db, other, spec)
+            finally:
+                os.environ.pop("COMPAIRR_PIGEONHOLE", None)
             os.environ["COMPAIRR_PIGEONHOLE"] = "0"
             try:
                 tl = find_pairs(db, other, spec)
@@ -165,6 +169,6 @@ def test_pigeonhole_vs_tile_paths():
             kp = np.sort(ph[0] * (1 << 32) + ph[1])
             kt = np.sort(tl[0] * (1 << 32) + tl[1])
             np.testing.assert_array_equal(
-                kp, kt, err_msg=f"d={d} excl={excl}"
+                kp, kt, err_msg=f"d={d} indels={indels} excl={excl}"
             )
             np.testing.assert_array_equal(np.sort(ph[2]), np.sort(tl[2]))
