@@ -6,11 +6,11 @@ reference binary with byte-comparison.
 Usage:
     python scripts/scale_demo.py [N] [--ref /path/to/compairr] [-d D] [-i]
 
-Measured on one tunneled TPU v5e chip + 1-vCPU host (2026-08-16):
-    -m -d 1   : ours 274 s, reference 376 s, outputs byte-identical
-    -m -d 2   : ours 277 s (reference published: 3200 s, M1 4-threads)
-    -m -d 1 -i: ours 657 s (incl. first-run kernel compiles),
-                reference 588 s, byte-identical
+Measured on one tunneled TPU v5e chip + 1-vCPU host (2026-08-17):
+    -m -d 0   : ours 54 s,  reference 58 s,  byte-identical
+    -m -d 1   : ours 87 s,  reference 151 s, byte-identical
+    -m -d 2   : ours 107 s  (reference published: 3200 s, M1 4-threads)
+    -m -d 1 -i: ours 134 s, reference 588 s (cold host; see BASELINE.md)
 """
 
 import argparse
