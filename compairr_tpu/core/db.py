@@ -109,6 +109,9 @@ class SeqDB:
     total_dup_count: int = 0
     shortest: int = 0
     longest: int = 0
+    # pins the native parse result while tensor fields are zero-copy
+    # views into its arenas
+    native_keepalive: Optional[object] = None
 
     @property
     def n(self) -> int:

@@ -767,4 +767,5 @@ def _read_db_native(
         total_dup_count=data["total_dup"],
         shortest=data["shortest"],
         longest=data["longest"],
+        native_keepalive=data["_keepalive"],
     )

@@ -360,13 +360,14 @@ def write_threecol_native(
     return rc == 0
 
 
-def _np_from(ptr, count, dtype):
+def _np_from(ptr, count, dtype, copy=True):
     if count == 0:
         return np.zeros(0, dtype=dtype)
     buf = ct.cast(
         ptr, ct.POINTER(ct.c_char * (count * np.dtype(dtype).itemsize))
     ).contents
-    return np.frombuffer(buf, dtype=dtype).copy()
+    arr = np.frombuffer(buf, dtype=dtype)
+    return arr.copy() if copy else arr
 
 
 class NativeSession:
@@ -451,27 +452,34 @@ class NativeResult:
         return self.lib.airr_missing_cols(self.handle)
 
     def arrays(self):
+        # zero-copy views into the C++ result arenas; the returned dict
+        # pins this NativeResult (see _keepalive) so airr_result_free
+        # only runs once every view is unreachable
         lib, h = self.lib, self.handle
         n = lib.airr_n(h)
         res_size = lib.airr_residues_size(h)
-        residues = _np_from(lib.airr_residues(h), res_size, np.int8)
-        lengths = _np_from(lib.airr_lengths(h), n, np.int32)
-        counts = _np_from(lib.airr_counts(h), n, np.int64)
-        rep_no = _np_from(lib.airr_rep_no(h), n, np.int32)
-        v_no = _np_from(lib.airr_v_no(h), n, np.int32)
-        j_no = _np_from(lib.airr_j_no(h), n, np.int32)
-        has_sid = _np_from(lib.airr_has_sequence_id(h), n, np.uint8)
-        sid_off = _np_from(lib.airr_sequence_id_offsets(h), n + 1, np.int64)
+        residues = _np_from(lib.airr_residues(h), res_size, np.int8,
+                            copy=False)
+        lengths = _np_from(lib.airr_lengths(h), n, np.int32, copy=False)
+        counts = _np_from(lib.airr_counts(h), n, np.int64, copy=False)
+        rep_no = _np_from(lib.airr_rep_no(h), n, np.int32, copy=False)
+        v_no = _np_from(lib.airr_v_no(h), n, np.int32, copy=False)
+        j_no = _np_from(lib.airr_j_no(h), n, np.int32, copy=False)
+        has_sid = _np_from(lib.airr_has_sequence_id(h), n, np.uint8,
+                           copy=False)
+        sid_off = _np_from(lib.airr_sequence_id_offsets(h), n + 1,
+                           np.int64, copy=False)
         sid_blob = _np_from(
             lib.airr_sequence_id_blob(h), int(sid_off[-1]) if n else 0,
-            np.uint8,
-        ).tobytes()
+            np.uint8, copy=False,
+        )
         if self.n_keep:
-            keep_off = _np_from(lib.airr_keep_offsets(h), n + 1, np.int64)
+            keep_off = _np_from(lib.airr_keep_offsets(h), n + 1,
+                                np.int64, copy=False)
             keep_blob = _np_from(
                 lib.airr_keep_blob(h), int(keep_off[-1]) if n else 0,
-                np.uint8,
-            ).tobytes()
+                np.uint8, copy=False,
+            )
             keep_missing = _np_from(
                 lib.airr_keep_missing(h), self.n_keep, np.uint8
             )
@@ -482,6 +490,7 @@ class NativeResult:
             for i in range(lib.airr_rep_count(h))
         ]
         return dict(
+            _keepalive=self,
             n=int(n),
             residues=residues,
             lengths=lengths,
@@ -644,8 +653,10 @@ def write_cluster_native(outfile, db, order, sizes, seeds, nxt) -> bool:
         p32(lengths),
         alphabet.encode("ascii"),
         p64(sid_off),
-        ct.cast(
-            ct.c_char_p(sid_blob), ct.POINTER(ct.c_uint8)
+        (
+            sid_blob.ctypes.data_as(ct.POINTER(ct.c_uint8))
+            if isinstance(sid_blob, np.ndarray)
+            else ct.cast(ct.c_char_p(sid_blob), ct.POINTER(ct.c_uint8))
         ),
         (
             has_sid.ctypes.data_as(ct.POINTER(ct.c_uint8))
