@@ -63,8 +63,10 @@ def cluster(opt: Options, logger: Logger, outfile: IO[str]) -> None:
     )
 
     # per-seed adjacency in canonical variant order (the order the
-    # reference's network[] arrays hold hits, cluster.cc:225-274)
-    if len(idx1):
+    # reference's network[] arrays hold hits, cluster.cc:225-274); at
+    # d>2 the brute-force scan collects hits in set-2 index order
+    # (process_trad, cluster.cc:165-211)
+    if len(idx1) and opt.differences <= MAXDIFF_HASH:
         keys = variant_sort_keys(
             d.seqs, d.lengths, d.seqs, d.lengths, idx1, idx2
         )
@@ -72,6 +74,10 @@ def cluster(opt: Options, logger: Logger, outfile: IO[str]) -> None:
             (idx2, keys[:, 4], keys[:, 3], keys[:, 2], keys[:, 1],
              keys[:, 0], idx1)
         )
+        src = idx1[perm]
+        dst = idx2[perm]
+    elif len(idx1):
+        perm = np.lexsort((idx2, idx1))
         src = idx1[perm]
         dst = idx2[perm]
     else:

@@ -280,12 +280,17 @@ def overlap(
         and max_term * float(max(len(idx1), 1)) < float(2**53)
     )
     if pairsfile is not None or not order_free:
-        lmax = max(d1.longest, d2.longest, 1)
-        d1.repad(lmax)
-        d2.repad(lmax)
-        perm = sort_pairs_reference_order(
-            d1.seqs, d1.lengths, d2.seqs, d2.lengths, idx1, idx2
-        )
+        if opt.differences <= MAXDIFF_HASH:
+            lmax = max(d1.longest, d2.longest, 1)
+            d1.repad(lmax)
+            d2.repad(lmax)
+            perm = sort_pairs_reference_order(
+                d1.seqs, d1.lengths, d2.seqs, d2.lengths, idx1, idx2
+            )
+        else:
+            # d>2 brute force emits per seed in set-2 index order
+            # (process_trad, overlap.cc:286-359)
+            perm = np.lexsort((idx2, idx1))
         idx1, idx2, dist = idx1[perm], idx2[perm], dist[perm]
 
     scores = pair_scores(

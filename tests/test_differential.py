@@ -107,6 +107,17 @@ def test_matrix_self(data, tmp_path, flags):
     compare_outputs(tmp_path, [a], flags)
 
 
+def test_pairs_file_self_d3(data, tmp_path):
+    # d>2 pairs emit per seed in set-2 index order, not variant order
+    # (process_trad, overlap.cc:286-359) — regression for fuzz trial 45
+    _, a, _b = data
+    compare_outputs(
+        tmp_path, [a], ["-m", "-d", "3", "-g", "--distance"], pairs=True
+    )
+    compare_outputs(tmp_path, [a], ["-m", "-d", "3", "--distance"],
+                    pairs=True)
+
+
 @pytest.mark.parametrize(
     "flags",
     [
