@@ -962,6 +962,90 @@ def _piece_rows(db: SeqDB, p: int, pieces: int, w_max: int) -> np.ndarray:
     return out
 
 
+def _find_pairs_variant_join(
+    db1: SeqDB,
+    db2: SeqDB,
+    spec: MatchSpec,
+    logger: Optional[Logger] = None,
+    progress_prompt: Optional[str] = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Asymmetric d=1 substitution matching: materialise every
+    single-substitution variant of the smaller set (the reference's
+    generate_variants_1, /root/reference/src/variants.cc:280-293, as
+    one tensor instead of per-seed hash probes) and exact-join them
+    against the larger set through the native table. A variant equals
+    a big-set row iff the pair matches, so no verification pass is
+    needed; one grouping over (small x L x A + big) rows replaces the
+    pigeonhole's d+1 passes over the full union — the win when one
+    side is tiny (existence queries)."""
+    from ..core.exact import group_rows
+
+    n1, n2 = db1.n, db2.n
+    small_is_1 = n1 <= n2
+    dbs, dbb = (db1, db2) if small_is_1 else (db2, db1)
+    ns = dbs.n
+    A = 4 if db1.nucleotides else 20
+    started = logger is not None and progress_prompt is not None
+    if started:
+        logger.progress_init(progress_prompt, 2)
+
+    lmax = int(max(db1.longest, db2.longest, 1))
+    db1.repad(lmax)
+    db2.repad(lmax)
+    W = lmax
+
+    base = np.ascontiguousarray(dbs.seqs[:, :W])
+    V = np.broadcast_to(base[:, None, None, :], (ns, W, A, W)).copy()
+    for p in range(W):
+        V[:, p, :, p] = np.arange(A, dtype=np.int8)[None, :]
+    # variants mutating pad columns would fabricate longer sequences;
+    # -1 never occurs in real rows, so they can't join anything
+    invalid = np.arange(W)[None, :] >= dbs.lengths[:, None]
+    V4 = V.reshape(ns, W, A * W)
+    V4[invalid] = -1
+    V = V.reshape(ns * W * A, W)
+
+    def genes_of(db):
+        if spec.ignore_genes:
+            return np.zeros((db.n, 0), dtype=np.int32)
+        return np.ascontiguousarray(
+            np.stack(
+                [db.v_no.astype(np.int32), db.j_no.astype(np.int32)],
+                axis=1,
+            )
+        )
+
+    rows = np.concatenate([V, dbb.seqs[:, :W]], axis=0)
+    meta = np.concatenate(
+        [np.repeat(genes_of(dbs), W * A, axis=0), genes_of(dbb)], axis=0
+    )
+    g, _ng = group_rows(rows, meta, db1.pad_value)
+    del rows, V
+    gv = g[: ns * W * A]
+    gb = g[ns * W * A :]
+    if started:
+        logger.progress_update(1)
+
+    iv, ib = _join_groups(gv, gb)
+    seed = iv // (W * A)
+    keys = np.unique(seed * np.int64(dbb.n) + ib)
+    i_s = keys // dbb.n
+    i_b = keys - i_s * dbb.n
+    i1, i2 = (i_s, i_b) if small_is_1 else (i_b, i_s)
+
+    dist = np.empty(len(i1), dtype=np.int64)
+    for s0 in range(0, len(i1), 1 << 20):
+        sel = slice(s0, min(s0 + (1 << 20), len(i1)))
+        dist[sel] = (
+            db1.seqs[i1[sel], :W] != db2.seqs[i2[sel], :W]
+        ).sum(axis=1)
+
+    if started:
+        logger.progress_update(2)
+        logger.progress_done()
+    return i1, i2, dist
+
+
 def _find_pairs_pigeonhole(
     db1: SeqDB,
     db2: SeqDB,
@@ -1356,9 +1440,26 @@ def find_pairs(
                 else None
             )
         else:
-            ph = _find_pairs_pigeonhole(
-                db1, db2, spec, logger, progress_prompt
-            )
+            nmin = min(db1.n, db2.n)
+            lmax = int(max(db1.longest, db2.longest, 1))
+            alpha = 4 if db1.nucleotides else 20
+            # the variant join runs ONE grouping over (variants + big)
+            # rows; the pigeonhole runs d+1 groupings + gathers over
+            # everything. Cheaper while the variant rows cost less
+            # than the d extra full passes they replace.
+            if (
+                spec.differences == 1
+                and db2 is not db1
+                and nmin <= (1 << 16)
+                and nmin * lmax * alpha < db1.n + db2.n
+            ):
+                ph = _find_pairs_variant_join(
+                    db1, db2, spec, logger, progress_prompt
+                )
+            else:
+                ph = _find_pairs_pigeonhole(
+                    db1, db2, spec, logger, progress_prompt
+                )
         if ph is not None:
             return with_diagonal(*ph)
 

@@ -172,3 +172,38 @@ def test_pigeonhole_vs_tile_paths():
                 kp, kt, err_msg=f"d={d} indels={indels} excl={excl}"
             )
             np.testing.assert_array_equal(np.sort(ph[2]), np.sort(tl[2]))
+
+
+def test_variant_join_vs_pigeonhole():
+    """The asymmetric d=1 variant-join must find the identical pair
+    set as the pigeonhole path (both against the tile engine)."""
+    import os
+
+    def rand_db(n, seed):
+        rng = random.Random(seed)
+        seqs = []
+        for _ in range(n):
+            L = rng.randint(1, 10)
+            seqs.append([rng.randrange(4) for _ in range(L)])
+        vs = [rng.randrange(3) for _ in seqs]
+        js = [rng.randrange(2) for _ in seqs]
+        return make_db(seqs, vs, js)
+
+    small = rand_db(40, 31)   # 40*10*20 = 8000 < (40+50000)/2
+    big = rand_db(50000, 32)  # -> the variant-join condition holds
+    spec = MatchSpec(differences=1, indels=False, ignore_genes=False)
+    vj = find_pairs(small, big, spec)
+    os.environ["COMPAIRR_PIGEONHOLE"] = "0"
+    try:
+        tl = find_pairs(small, big, spec)
+    finally:
+        os.environ.pop("COMPAIRR_PIGEONHOLE", None)
+    kv = np.sort(vj[0] * (1 << 32) + vj[1])
+    kt = np.sort(tl[0] * (1 << 32) + tl[1])
+    np.testing.assert_array_equal(kv, kt)
+    np.testing.assert_array_equal(np.sort(vj[2]), np.sort(tl[2]))
+    # reversed argument order exercises the small_is_1=False branch
+    vj2 = find_pairs(big, small, spec)
+    kv2 = np.sort(vj2[0] * (1 << 32) + vj2[1])
+    kt2 = np.sort(np.asarray(tl[1]) * (1 << 32) + np.asarray(tl[0]))
+    np.testing.assert_array_equal(kv2, kt2)
