@@ -207,3 +207,30 @@ def test_variant_join_vs_pigeonhole():
     kv2 = np.sort(vj2[0] * (1 << 32) + vj2[1])
     kt2 = np.sort(np.asarray(tl[1]) * (1 << 32) + np.asarray(tl[0]))
     np.testing.assert_array_equal(kv2, kt2)
+
+
+def test_pigeonhole_overflow_falls_back(monkeypatch):
+    """A candidate-budget overflow must silently reroute to the tile
+    engine with identical results."""
+    import os
+
+    from compairr_tpu.ops import engine
+
+    rng = random.Random(41)
+    seqs = [[rng.randrange(2) for _ in range(rng.randint(3, 5))]
+            for _ in range(400)]
+    vs = [0] * len(seqs)
+    js = [0] * len(seqs)
+    db = make_db(seqs, vs, js)
+    spec = MatchSpec(differences=1, indels=False, ignore_genes=False)
+
+    monkeypatch.setattr(engine, "PIGEONHOLE_MAX_CANDIDATES", 10)
+    ov = find_pairs(db, db, spec)
+    os.environ["COMPAIRR_PIGEONHOLE"] = "0"
+    try:
+        tl = find_pairs(db, db, spec)
+    finally:
+        os.environ.pop("COMPAIRR_PIGEONHOLE", None)
+    ko = np.sort(ov[0] * (1 << 32) + ov[1])
+    kt = np.sort(tl[0] * (1 << 32) + tl[1])
+    np.testing.assert_array_equal(ko, kt)
