@@ -112,6 +112,9 @@ class SeqDB:
     # pins the native parse result while tensor fields are zero-copy
     # views into its arenas
     native_keepalive: Optional[object] = None
+    # per-row content hash computed during the native parse (FNV-1a
+    # over encoded residues); full-sequence groupings reuse it
+    row_hash: Optional[np.ndarray] = None
 
     @property
     def n(self) -> int:

@@ -50,24 +50,30 @@ def group_ids(
         if meta_cols
         else np.zeros((n, 0), dtype=np.int32)
     )
-    return group_rows(db.seqs, meta, db.pad_value)
+    return group_rows(db.seqs, meta, db.pad_value, prehash=db.row_hash)
 
 
 def group_rows(
-    seqs: np.ndarray, meta: np.ndarray, pad_value: int
+    seqs: np.ndarray,
+    meta: np.ndarray,
+    pad_value: int,
+    prehash: Optional[np.ndarray] = None,
 ) -> tuple[np.ndarray, int]:
     """Group identical (row, meta) records, ids numbered by first
     occurrence. Padded rows are injective (the pad code is not a
     residue), so length needn't join the key. Native open-addressing
     pass when available (~5x the numpy sort-based path at Keck scale);
-    numpy hash-sort-verify fallback otherwise."""
+    numpy hash-sort-verify fallback otherwise. prehash optionally
+    carries the parser's per-row content hashes (equal rows share a
+    hash by construction; collisions are resolved exactly either way).
+    """
     n = len(seqs)
     if n == 0:
         return np.zeros(0, dtype=np.int64), 0
 
     from ..io.native import group_rows_native
 
-    nat = group_rows_native(seqs, meta)
+    nat = group_rows_native(seqs, meta, prehash)
     if nat is not None:
         return nat
 

@@ -768,4 +768,5 @@ def _read_db_native(
         shortest=data["shortest"],
         longest=data["longest"],
         native_keepalive=data["_keepalive"],
+        row_hash=data["row_hash"],
     )

@@ -89,6 +89,9 @@ def load_library():
         fn = getattr(lib, name)
         fn.restype = ct.POINTER(ct.c_int32)
         fn.argtypes = [ct.c_void_p]
+    if hasattr(lib, "airr_row_hash"):
+        lib.airr_row_hash.restype = ct.POINTER(ct.c_uint64)
+        lib.airr_row_hash.argtypes = [ct.c_void_p]
     for name in [
         "airr_counts",
         "airr_sequence_id_offsets",
@@ -187,6 +190,17 @@ def load_library():
             ct.c_int64,
             ct.POINTER(ct.c_int32),
             ct.c_int32,
+            ct.POINTER(ct.c_int64),
+        ]
+    if hasattr(lib, "group_rows_pre"):
+        lib.group_rows_pre.restype = ct.c_int64
+        lib.group_rows_pre.argtypes = [
+            ct.POINTER(ct.c_int8),
+            ct.c_int64,
+            ct.c_int64,
+            ct.POINTER(ct.c_int32),
+            ct.c_int32,
+            ct.POINTER(ct.c_uint64),
             ct.POINTER(ct.c_int64),
         ]
 
@@ -465,6 +479,11 @@ class NativeResult:
         rep_no = _np_from(lib.airr_rep_no(h), n, np.int32, copy=False)
         v_no = _np_from(lib.airr_v_no(h), n, np.int32, copy=False)
         j_no = _np_from(lib.airr_j_no(h), n, np.int32, copy=False)
+        row_hash = (
+            _np_from(lib.airr_row_hash(h), n, np.uint64, copy=False)
+            if hasattr(lib, "airr_row_hash")
+            else None
+        )
         has_sid = _np_from(lib.airr_has_sequence_id(h), n, np.uint8,
                            copy=False)
         sid_off = _np_from(lib.airr_sequence_id_offsets(h), n + 1,
@@ -491,6 +510,7 @@ class NativeResult:
         ]
         return dict(
             _keepalive=self,
+            row_hash=row_hash,
             n=int(n),
             residues=residues,
             lengths=lengths,
@@ -550,15 +570,16 @@ def pack_rows_native(flat, lens, lmax: int, pad: int):
     return out
 
 
-def group_rows_native(seqs, meta):
+def group_rows_native(seqs, meta, prehash=None):
     """Exact-duplicate grouping (first-occurrence numbering) via the
     native open-addressing table. seqs is [n, row_bytes] int8, meta
-    [n, m] int32 (may have m == 0). Returns (group_ids, n_groups) or
+    [n, m] int32 (may have m == 0); prehash optionally carries the
+    parser's per-row content hashes. Returns (group_ids, n_groups) or
     None when the native library is unavailable."""
     if os.environ.get("COMPAIRR_NATIVE_IO") == "0":
         return None
     lib = load_library()
-    if lib is None or not hasattr(lib, "group_rows"):
+    if lib is None or not hasattr(lib, "group_rows_pre"):
         return None
     seqs = np.ascontiguousarray(seqs, dtype=np.int8)
     meta = np.ascontiguousarray(meta, dtype=np.int32)
@@ -570,12 +591,18 @@ def group_rows_native(seqs, meta):
         if m
         else ct.cast(None, ct.POINTER(ct.c_int32))
     )
-    ng = lib.group_rows(
+    if prehash is not None:
+        prehash = np.ascontiguousarray(prehash, dtype=np.uint64)
+        hp = prehash.ctypes.data_as(ct.POINTER(ct.c_uint64))
+    else:
+        hp = ct.cast(None, ct.POINTER(ct.c_uint64))
+    ng = lib.group_rows_pre(
         seqs.ctypes.data_as(ct.POINTER(ct.c_int8)),
         n,
         seqs.shape[1],
         mp,
         m,
+        hp,
         out.ctypes.data_as(ct.POINTER(ct.c_int64)),
     )
     if ng < 0:

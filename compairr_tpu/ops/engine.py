@@ -858,14 +858,21 @@ def exact_match_groups(
         )
 
     if db2 is db1:
-        ga, _ng = group_rows(db1.seqs, meta_of(db1), db1.pad_value)
+        ga, _ng = group_rows(
+            db1.seqs, meta_of(db1), db1.pad_value, prehash=db1.row_hash
+        )
         return ga, ga
     w = max(db1.seqs.shape[1], db2.seqs.shape[1])
     db1.repad(w)
     db2.repad(w)
     seqs = np.concatenate([db1.seqs, db2.seqs], axis=0)
     meta = np.concatenate([meta_of(db1), meta_of(db2)], axis=0)
-    g, _ng = group_rows(seqs, meta, db1.pad_value)
+    prehash = (
+        np.concatenate([db1.row_hash, db2.row_hash])
+        if db1.row_hash is not None and db2.row_hash is not None
+        else None
+    )
+    g, _ng = group_rows(seqs, meta, db1.pad_value, prehash=prehash)
     return g[: db1.n], g[db1.n :]
 
 

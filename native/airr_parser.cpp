@@ -81,6 +81,7 @@ struct Result {
 
   int64_t n = 0;
   std::string residues;  // packed encoded residues
+  std::vector<uint64_t> row_hash;  // FNV-1a over encoded residues
   std::vector<int32_t> lengths;
   std::vector<int64_t> counts;
   std::vector<int32_t> rep_no, v_no, j_no;
@@ -278,9 +279,11 @@ void* airr_parse(void* session_ptr, const char* filename,
                                               : cols.junction_aa);
     const Tok* raw_seq = get(seq_col);
 
-    // scan & encode (db.cc:408-469)
+    // scan & encode (db.cc:408-469); the FNV-1a running hash feeds
+    // the native exact-grouping passes so they never re-read rows
     size_t start = r->residues.size();
     int32_t seqlen = 0;
+    uint64_t rowh = 1469598103934665603ULL;
     bool ignore_seq = false;
     bool fail = false;
     if (raw_seq) {
@@ -289,6 +292,7 @@ void* airr_parse(void* session_ptr, const char* filename,
         signed char m = map[c];
         if (m >= 0) {
           r->residues.push_back((char)m);
+          rowh = (rowh ^ (uint64_t)(uint8_t)m) * 1099511628211ULL;
           seqlen++;
         } else if (c >= 32 && c <= 126) {
           if (opt.ignore_unknown) {
@@ -409,6 +413,7 @@ void* airr_parse(void* session_ptr, const char* filename,
       r->keeps.push(joined.data(), joined.size());
     }
 
+    r->row_hash.push_back(rowh);
     r->lengths.push_back(seqlen);
     r->counts.push_back(count);
     r->rep_no.push_back(rep_id);
@@ -439,6 +444,9 @@ int32_t airr_missing_cols(void* rp) {
 int64_t airr_n(void* rp) { return static_cast<Result*>(rp)->n; }
 int64_t airr_residues_size(void* rp) {
   return (int64_t)static_cast<Result*>(rp)->residues.size();
+}
+const uint64_t* airr_row_hash(void* rp) {
+  return static_cast<Result*>(rp)->row_hash.data();
 }
 const char* airr_residues(void* rp) {
   return static_cast<Result*>(rp)->residues.data();

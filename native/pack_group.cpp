@@ -113,8 +113,22 @@ void pack5_rows(const int8_t* seqs, int64_t n, int64_t w, int64_t m,
 // (v/j/rep columns under the active criterion). Writes group ids
 // (first-occurrence numbering) to group_out[n]; returns the number of
 // groups, or -1 on allocation failure.
+int64_t group_rows_pre(const int8_t* seqs, int64_t n, int64_t row_bytes,
+                       const int32_t* meta, int32_t m,
+                       const uint64_t* prehash, int64_t* group_out);
+
 int64_t group_rows(const int8_t* seqs, int64_t n, int64_t row_bytes,
                    const int32_t* meta, int32_t m, int64_t* group_out) {
+  return group_rows_pre(seqs, n, row_bytes, meta, m, nullptr, group_out);
+}
+
+// Like group_rows, but `prehash` (when non-null) carries a per-row
+// content hash computed during parsing (airr_parser.cpp) — the rows
+// are then never re-read for hashing, only for the exact memcmp
+// verification of same-tag occupants.
+int64_t group_rows_pre(const int8_t* seqs, int64_t n, int64_t row_bytes,
+                       const int32_t* meta, int32_t m,
+                       const uint64_t* prehash, int64_t* group_out) {
   if (n == 0) return 0;
   if (n >= (int64_t)1 << 31) return -1;  // slot packs idx into 32 bits
 
@@ -139,7 +153,14 @@ int64_t group_rows(const int8_t* seqs, int64_t n, int64_t row_bytes,
   for (int64_t i = 0; i < n; ++i) {
     const int8_t* row = seqs + i * row_bytes;
     const int32_t* me = meta + i * m;
-    uint64_t h = hash_row(row, row_bytes, me, m);
+    uint64_t h;
+    if (prehash) {
+      h = mix64(prehash[i]);
+      for (int32_t c = 0; c < m; ++c)
+        h = mix64(h ^ (uint64_t)(uint32_t)me[c]);
+    } else {
+      h = hash_row(row, row_bytes, me, m);
+    }
     const uint64_t tag = h & 0xffffffff00000000ULL;
     uint64_t j = h & mask;
     for (;;) {
