@@ -214,7 +214,7 @@ def test_pigeonhole_overflow_falls_back(monkeypatch):
     engine with identical results."""
     import os
 
-    from compairr_tpu.ops import engine
+    from compairr_tpu.ops import sparse_host
 
     rng = random.Random(41)
     seqs = [[rng.randrange(2) for _ in range(rng.randint(3, 5))]
@@ -224,7 +224,7 @@ def test_pigeonhole_overflow_falls_back(monkeypatch):
     db = make_db(seqs, vs, js)
     spec = MatchSpec(differences=1, indels=False, ignore_genes=False)
 
-    monkeypatch.setattr(engine, "PIGEONHOLE_MAX_CANDIDATES", 10)
+    monkeypatch.setattr(sparse_host, "PIGEONHOLE_MAX_CANDIDATES", 10)
     ov = find_pairs(db, db, spec)
     os.environ["COMPAIRR_PIGEONHOLE"] = "0"
     try:
