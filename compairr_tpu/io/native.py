@@ -192,6 +192,19 @@ def load_library():
             ct.c_int32,
             ct.POINTER(ct.c_int64),
         ]
+    if hasattr(lib, "group_pieces"):
+        lib.group_pieces.restype = ct.c_int64
+        lib.group_pieces.argtypes = [
+            ct.POINTER(ct.c_int8),
+            ct.c_int64,
+            ct.c_int64,
+            ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int32),
+            ct.c_int32,
+            ct.c_int32,
+            ct.c_int32,
+            ct.POINTER(ct.c_int64),
+        ]
     if hasattr(lib, "group_rows_pre"):
         lib.group_rows_pre.restype = ct.c_int64
         lib.group_rows_pre.argtypes = [
@@ -719,3 +732,37 @@ def pack5_rows_native(seqs, n_rows_out: int, lpad: int, nw: int,
         out.ctypes.data_as(ct.POINTER(ct.c_int32)),
     )
     return out
+
+
+def group_pieces_native(seqs, lengths, meta, piece: int, pieces: int):
+    """Fused pigeonhole piece grouping (native/pack_group.cpp
+    group_pieces): groups rows by their p-th length-proportional piece
+    plus meta, reading the piece ranges in place. meta must include
+    the length column. Returns (group_ids, n_groups) or None."""
+    if os.environ.get("COMPAIRR_NATIVE_IO") == "0":
+        return None
+    lib = load_library()
+    if lib is None or not hasattr(lib, "group_pieces"):
+        return None
+    seqs = np.ascontiguousarray(seqs, dtype=np.int8)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    meta = np.ascontiguousarray(meta, dtype=np.int32)
+    n = seqs.shape[0]
+    m = meta.shape[1]
+    if m < 1:
+        return None
+    out = np.empty(n, dtype=np.int64)
+    ng = lib.group_pieces(
+        seqs.ctypes.data_as(ct.POINTER(ct.c_int8)),
+        n,
+        seqs.shape[1],
+        lengths.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        meta.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        m,
+        piece,
+        pieces,
+        out.ctypes.data_as(ct.POINTER(ct.c_int64)),
+    )
+    if ng < 0:
+        return None
+    return out, int(ng)

@@ -281,24 +281,38 @@ def _find_pairs_pigeonhole(
 
     if same:
         metas = meta_of(db1)
+        g_seqs, g_lens = db1.seqs, db1.lengths
     else:
         metas = np.concatenate([meta_of(db1), meta_of(db2)], axis=0)
+        w = max(db1.seqs.shape[1], db2.seqs.shape[1])
+        db1.repad(w)
+        db2.repad(w)
+        g_seqs = np.concatenate([db1.seqs, db2.seqs], axis=0)
+        g_lens = np.concatenate([db1.lengths, db2.lengths])
+
+    from ..io.native import group_pieces_native
 
     cand_keys: list[np.ndarray] = []
     budget = PIGEONHOLE_MAX_CANDIDATES
     for p in range(pieces):
-        if same:
-            rows = _piece_rows(db1, p, pieces, w_max)
+        # fused native pass reads the piece ranges in place; the numpy
+        # fallback materialises gathered piece rows first
+        nat = group_pieces_native(g_seqs, g_lens, metas, p, pieces)
+        if nat is not None:
+            g, _ng = nat
         else:
-            rows = np.concatenate(
-                [
-                    _piece_rows(db1, p, pieces, w_max),
-                    _piece_rows(db2, p, pieces, w_max),
-                ],
-                axis=0,
-            )
-        g, _ng = group_rows(rows, metas, db1.pad_value)
-        del rows
+            if same:
+                rows = _piece_rows(db1, p, pieces, w_max)
+            else:
+                rows = np.concatenate(
+                    [
+                        _piece_rows(db1, p, pieces, w_max),
+                        _piece_rows(db2, p, pieces, w_max),
+                    ],
+                    axis=0,
+                )
+            g, _ng = group_rows(rows, metas, db1.pad_value)
+            del rows
         ga, gb = (g, g) if same else (g[:n1], g[n1:])
 
         # candidate volume guard before emission; a same-set run's n

@@ -187,4 +187,71 @@ int64_t group_rows_pre(const int8_t* seqs, int64_t n, int64_t row_bytes,
   return n_groups;
 }
 
+// Pigeonhole piece grouping fused with extraction: groups rows by
+// (piece residues, meta) where the piece is the length-proportional
+// range [len*p/pieces, len*(p+1)/pieces). meta must include the
+// length (plus v/j under the gene criterion) so only equal-length
+// rows — whose piece bounds agree — can share a group. Avoids
+// materialising the [n, w] piece matrix the numpy path gathers.
+int64_t group_pieces(const int8_t* seqs, int64_t n, int64_t row_bytes,
+                     const int32_t* lengths, const int32_t* meta,
+                     int32_t m, int32_t piece, int32_t pieces,
+                     int64_t* group_out) {
+  if (n == 0) return 0;
+  if (n >= (int64_t)1 << 31) return -1;
+  if (m < 1) return -1;  // meta must carry the length column
+
+  uint64_t size = 1;
+  while ((int64_t)size < n || (double)n > 0.7 * (double)size) size <<= 1;
+  const uint64_t mask = size - 1;
+  size_t bytes = (size_t)size * sizeof(uint64_t);
+  uint64_t* slots = (uint64_t*)mmap(nullptr, bytes, PROT_READ | PROT_WRITE,
+                                    MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+  if (slots == MAP_FAILED) return -1;
+  madvise(slots, bytes, MADV_HUGEPAGE);
+
+  int64_t n_groups = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t len = lengths[i];
+    int64_t s = (len * piece) / pieces;
+    int64_t e = (len * (piece + 1)) / pieces;
+    const int8_t* pc = seqs + i * row_bytes + s;
+    int64_t plen = e - s;
+    const int32_t* me = meta + i * m;
+    uint64_t h = 1469598103934665603ULL;
+    for (int64_t k = 0; k < plen; ++k)
+      h = (h ^ (uint64_t)(uint8_t)pc[k]) * 1099511628211ULL;
+    h = mix64(h);
+    for (int32_t c = 0; c < m; ++c)
+      h = mix64(h ^ (uint64_t)(uint32_t)me[c]);
+    const uint64_t tag = h & 0xffffffff00000000ULL;
+    uint64_t j = h & mask;
+    for (;;) {
+      uint64_t sl = slots[j];
+      if (sl == 0) {
+        slots[j] = tag | (uint64_t)(uint32_t)(i + 1);
+        group_out[i] = n_groups++;
+        break;
+      }
+      if ((sl & 0xffffffff00000000ULL) == tag) {
+        int64_t other = (int64_t)(uint32_t)sl - 1;
+        // meta equality implies equal length, hence identical piece
+        // bounds for both rows
+        int64_t os = ((int64_t)lengths[other] * piece) / pieces;
+        if (memcmp(meta + other * m, me,
+                   (size_t)m * sizeof(int32_t)) == 0 &&
+            memcmp(seqs + other * row_bytes + os, pc, (size_t)plen) ==
+                0) {
+          group_out[i] = group_out[other];
+          break;
+        }
+      }
+      j = (j + 1) & mask;
+    }
+  }
+
+  munmap(slots, bytes);
+  return n_groups;
+}
+
 }  // extern "C"

@@ -188,3 +188,42 @@ def test_pack_rows_native_vs_numpy():
     assert nat is not None
     ref = _pack_residues(flat, lens, 22, 20)
     np.testing.assert_array_equal(nat, ref)
+
+
+def test_group_pieces_native_vs_numpy():
+    """Fused native piece grouping == materialised numpy piece rows +
+    group_rows, across piece counts."""
+    import random
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_oracle import make_db
+
+    from compairr_tpu.core.exact import group_rows
+    from compairr_tpu.io.native import group_pieces_native
+    from compairr_tpu.ops.sparse_host import _piece_rows
+
+    rng = random.Random(13)
+    seqs = [[rng.randrange(4) for _ in range(rng.randint(1, 11))]
+            for _ in range(2000)]
+    vs = [rng.randrange(3) for _ in seqs]
+    js = [rng.randrange(2) for _ in seqs]
+    db = make_db(seqs, vs, js)
+    meta = np.ascontiguousarray(
+        np.stack(
+            [db.lengths.astype(np.int32), db.v_no.astype(np.int32),
+             db.j_no.astype(np.int32)],
+            axis=1,
+        )
+    )
+    for pieces in (2, 3, 4):
+        for p in range(pieces):
+            nat = group_pieces_native(db.seqs, db.lengths, meta, p, pieces)
+            assert nat is not None
+            w_max = -(-db.seqs.shape[1] // pieces)
+            rows = _piece_rows(db, p, pieces, w_max)
+            ref = group_rows(rows, meta, 20)
+            np.testing.assert_array_equal(nat[0], ref[0])
+            assert nat[1] == ref[1]
