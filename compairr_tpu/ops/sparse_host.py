@@ -12,12 +12,15 @@ find_pairs (ops/engine.py) routes between them.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import TYPE_CHECKING, Optional
 
 import numpy as np
 
 from ..core.db import SeqDB
 from ..utils.progress import Logger
+
+if TYPE_CHECKING:  # annotation-only; engine imports this module
+    from .engine import MatchSpec
 
 def exact_match_groups(
     db1: SeqDB, db2: SeqDB, spec: MatchSpec

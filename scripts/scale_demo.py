@@ -7,10 +7,12 @@ Usage:
     python scripts/scale_demo.py [N] [--ref /path/to/compairr] [-d D] [-i]
 
 Measured on one tunneled TPU v5e chip + 1-vCPU host (2026-08-17):
-    -m -d 0   : ours 54 s,  reference 58 s,  byte-identical
-    -m -d 1   : ours 87 s,  reference 151 s, byte-identical
-    -m -d 2   : ours 107 s  (reference published: 3200 s, M1 4-threads)
-    -m -d 1 -i: ours 134 s, reference 588 s (cold host; see BASELINE.md)
+    -m -d 0   : ours 36 s,  reference 58 s,  byte-identical
+    -m -d 1   : ours 50 s,  reference 151 s, byte-identical
+    -m -d 2   : ours 63 s   (reference published: 3200 s, M1 4-threads)
+    -m -d 1 -i: ours 134 s, reference 588 s (cold host)
+    -c -d 1   : ours 63 s,  reference 222 s, byte-identical
+See BASELINE.md for the full sweep.
 """
 
 import argparse
