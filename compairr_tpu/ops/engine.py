@@ -445,7 +445,6 @@ def pair_score_tile(ca, cb, score_int: int, ignore_counts: bool):
     from ..constants import (
         SCORE_JACCARD,
         SCORE_MAX,
-        SCORE_MEAN,
         SCORE_MH,
         SCORE_MIN,
         SCORE_PRODUCT,
