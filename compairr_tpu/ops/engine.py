@@ -326,54 +326,17 @@ def _tile_codes(
     mxu: bool = False,
 ):
     """Distance codes for one [TM, TN] tile: 0 = no match, else
-    distance + 1. Pure jnp; shapes are static."""
-    # Hamming for equal lengths: pad matches pad, so distance is the
-    # number of mismatching positions over the padded width.
-    if mxu:
-        lpad = a_seq.shape[1]
-        nclass = 32
-        cls = lax.broadcasted_iota(jnp.int8, (1, 1, nclass), 2)
-        oh_a = (a_seq[:, :, None] == cls).astype(jnp.int8)
-        oh_b = (b_seq[:, :, None] == cls).astype(jnp.int8)
-        oh_a = oh_a.reshape(a_seq.shape[0], lpad * nclass)
-        oh_b = oh_b.reshape(b_seq.shape[0], lpad * nclass)
-        matches = lax.dot_general(
-            oh_a,
-            oh_b,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        mism = lpad - matches
-    else:
-        mism = jnp.sum(
-            a_seq[:, None, :] != b_seq[None, :, :], axis=2, dtype=jnp.int32
-        )
-    len_eq = a_len[:, None] == b_len[None, :]
-    valid = (a_len[:, None] > 0) & (b_len[None, :] > 0)
-    match = len_eq & (mism <= differences)
-    dist = mism
-
-    if indels:
-        # one-indel check for |len difference| == 1:
-        # common_prefix + common_suffix >= min(len)
-        pref_eq = (a_seq[:, None, :] == b_seq[None, :, :]).astype(jnp.int32)
-        pref = jnp.sum(jnp.cumprod(pref_eq, axis=2), axis=2, dtype=jnp.int32)
-        suf_eq = (a_rseq[:, None, :] == b_rseq[None, :, :]).astype(jnp.int32)
-        suf = jnp.sum(jnp.cumprod(suf_eq, axis=2), axis=2, dtype=jnp.int32)
-        minlen = jnp.minimum(a_len[:, None], b_len[None, :])
-        len_pm1 = jnp.abs(a_len[:, None] - b_len[None, :]) == 1
-        indel_match = len_pm1 & (pref + suf >= minlen)
-        match = match | indel_match
-        dist = jnp.where(len_pm1, 1, dist)
-
-    if not ignore_genes:
-        match = match & (a_v[:, None] == b_v[None, :]) & (
-            a_j[:, None] == b_j[None, :]
-        )
+    distance + 1. Pure jnp; shapes are static. The mask/distance
+    computation is _tile_match; this adds the exclude_self refinement
+    (cluster mode, /root/reference/src/cluster.cc:105)."""
+    match, dist = _tile_match(
+        a_seq, a_rseq, a_len, a_v, a_j,
+        b_seq, b_rseq, b_len, b_v, b_j,
+        differences=differences, indels=indels,
+        ignore_genes=ignore_genes, mxu=mxu,
+    )
     if exclude_self:
         match = match & (a_orig[:, None] != b_orig[None, :])
-    match = match & valid
-
     return jnp.where(match, dist + 1, 0).astype(jnp.int8)
 
 
@@ -505,6 +468,44 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _sparse_devices() -> list:
+    """Device set for the sparse tile engine: all local devices by
+    default, capped by COMPAIRR_DEVICES. Multi-chip runs split the
+    tile worklist across devices (each holding a replica of both
+    packed sets) — the TPU equivalent of the reference's pthread seed
+    chunking (/root/reference/src/overlap.cc:421-434). The merged pair
+    list is identical for any device count, so every consumer (pairs
+    files, clustering, byte-exact scoring) stays bit-reproducible."""
+    devs = jax.devices()
+    try:
+        cap = int(os.environ.get("COMPAIRR_DEVICES", "0"))
+    except ValueError:
+        cap = 0
+    if cap <= 0:
+        cap = len(devs)
+    return devs[: max(1, min(cap, len(devs)))]
+
+
+_TILES_PER_DEVICE_MIN = 8  # below this, extra devices cost more than help
+
+
+def _put_tree(x, device, memo=None):
+    """Replicate a nest of device arrays onto `device`, preserving
+    aliasing (shared leaves are copied once per device)."""
+    if memo is None:
+        memo = {}
+    if x is None:
+        return None
+    if isinstance(x, dict):
+        return {k: _put_tree(v, device, memo) for k, v in x.items()}
+    if isinstance(x, (tuple, list)):
+        return tuple(_put_tree(v, device, memo) for v in x)
+    key = id(x)
+    if key not in memo:
+        memo[key] = jax.device_put(x, device)
+    return memo[key]
+
+
 @lru_cache(maxsize=None)
 def _dense_fn(
     spec: MatchSpec, score_int: int, ignore_counts: bool,
@@ -615,11 +616,12 @@ def dense_matrix(
                 )
             )
     else:
-        a = pack_set(db1, lmax, tile_m, by_vjl)
+        use_indels = spec.indels and spec.differences == 1
+        a = pack_set(db1, lmax, tile_m, by_vjl, need_rseqs=use_indels)
         b = (
             a
             if (db2 is db1 and tile_m == tile_n)
-            else pack_set(db2, lmax, tile_n, by_vjl)
+            else pack_set(db2, lmax, tile_n, by_vjl, need_rseqs=use_indels)
         )
         work = build_worklist(a, b, spec, tile_m, tile_n)
 
@@ -775,7 +777,7 @@ def _sparse_inputs(db: SeqDB, tile: int, by_vjl: bool, lmax: int,
         orig = np.full(npad, -1, dtype=np.int64)
         orig[: db.n] = order
         return None, pa, pb, orig, key, npad
-    p = pack_set(db, lmax, tile, by_vjl)
+    p = pack_set(db, lmax, tile, by_vjl, need_rseqs=indels)
     dev = jax.device_put
     args = (dev(p.seqs), dev(p.rseqs), dev(p.lengths), dev(p.v),
             dev(p.j), dev(p.orig))
@@ -789,9 +791,10 @@ def _pair_plan(db1: SeqDB, db2: SeqDB, spec: MatchSpec, on_tpu: bool):
     Tile choice: bigger tiles for huge inputs — the Pallas count
     kernel's cost is dominated by per-program overhead (~1-3us/tile
     incl. block DMAs); 512x512 tiles cut the program count 16x at a
-    modest padding cost. The indel prefix/suffix loop needs four [T,T]
-    i32 VMEM buffers, which exceeds scoped VMEM at 512 — indel runs
-    cap at 256. Extraction slabs are sized for ~4M match-words per
+    modest padding cost. Indel runs use the same 512 tiles since the
+    prefix/suffix check moved onto the MXU (_first_mismatch replaced
+    the four [T,T] i32 VPU accumulators that used to exceed scoped
+    VMEM at 512). Extraction slabs are sized for ~4M match-words per
     dispatch so the fused nonzero (~9ms/M words) dominates the ~30ms
     dispatch round trip."""
     lmax = int(max(db1.longest, db2.longest, 1))
@@ -802,19 +805,24 @@ def _pair_plan(db1: SeqDB, db2: SeqDB, spec: MatchSpec, on_tpu: bool):
     if max(db1.n, db2.n) <= 2_000_000 or not on_tpu:
         tile = TILE_M
     else:
-        tile = 256 if use_indels else 512
+        tile = 512
     s_extract = max(64, (1 << 22) // (tile * (tile // 32)))
     return tile, s_extract, lmax, by_vjl, use_indels
 
 
+# prefetched device inputs: key -> (db, value). The db reference is
+# stored strong and identity-checked on hit so a recycled id() can
+# never serve a stale set's device buffers; every prefetch clears the
+# cache first so abandoned entries (exception between prefetch and
+# find_pairs) don't pin device HBM past the next run.
 _SPARSE_PREFETCH: dict = {}
 
 
 def _sparse_inputs_cached(db, tile, by_vjl, lmax, on_tpu, indels):
     key = (id(db), tile, by_vjl, lmax, on_tpu, indels)
     hit = _SPARSE_PREFETCH.pop(key, None)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] is db:
+        return hit[1]
     return _sparse_inputs(db, tile, by_vjl, lmax, on_tpu, indels)
 
 
@@ -824,11 +832,14 @@ def prefetch_find_pairs(db1: SeqDB, db2: SeqDB, spec: MatchSpec) -> None:
     files so the multi-hundred-MB host->device transfer of a large run
     overlaps the host-side duplicate check instead of serialising
     after it."""
+    _SPARSE_PREFETCH.clear()
     if spec.differences == 0:
         return  # exact path is a host hash join; nothing to upload
-    if not (spec.indels and spec.differences == 1) and os.environ.get(
-        "COMPAIRR_PIGEONHOLE", "1"
-    ) != "0":
+    mode = os.environ.get("COMPAIRR_PIGEONHOLE", "1")
+    if spec.indels and spec.differences == 1:
+        if mode == "all":
+            return  # host indel pigeonhole; the device is never used
+    elif mode != "0":
         # pigeonhole grouping handles these runs on host; only a
         # candidate-budget overflow reaches the device (rare, and the
         # tile path then creates its own inputs)
@@ -840,9 +851,34 @@ def prefetch_find_pairs(db1: SeqDB, db2: SeqDB, spec: MatchSpec) -> None:
     for db in ([db1] if db2 is db1 else [db1, db2]):
         key = (id(db), tile, by_vjl, lmax, True, use_indels)
         if key not in _SPARSE_PREFETCH:
-            _SPARSE_PREFETCH[key] = _sparse_inputs(
-                db, tile, by_vjl, lmax, True, use_indels
+            _SPARSE_PREFETCH[key] = (
+                db,
+                _sparse_inputs(db, tile, by_vjl, lmax, True, use_indels),
             )
+
+
+def variant_join_route(db1: SeqDB, db2: SeqDB, spec: MatchSpec) -> bool:
+    """True when find_pairs will resolve this run through the
+    asymmetric d=1 variant join (sparse_host.prepare_variant_join) —
+    exposed so modes/overlap.py can precompute the join grouping
+    during the duplicate-warning phase and reuse it.
+
+    The variant join runs ONE grouping over (variants + big) rows; the
+    pigeonhole runs d+1 groupings + gathers over everything. Cheaper
+    while the variant rows cost less than the d extra full passes they
+    replace."""
+    if spec.differences != 1 or spec.indels:
+        return False
+    if os.environ.get("COMPAIRR_PIGEONHOLE", "1") in ("0", "all"):
+        return False
+    nmin = min(db1.n, db2.n)
+    lmax = int(max(db1.longest, db2.longest, 1))
+    alpha = 4 if db1.nucleotides else 20
+    return (
+        db2 is not db1
+        and nmin <= (1 << 16)
+        and nmin * lmax * alpha < db1.n + db2.n
+    )
 
 
 def find_pairs(
@@ -852,6 +888,7 @@ def find_pairs(
     logger: Optional[Logger] = None,
     progress_prompt: Optional[str] = None,
     exact_groups: Optional[tuple[np.ndarray, np.ndarray]] = None,
+    vj_prep=None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Sparse path: all matching pairs under the spec.
 
@@ -901,21 +938,9 @@ def find_pairs(
                 else None
             )
         else:
-            nmin = min(db1.n, db2.n)
-            lmax = int(max(db1.longest, db2.longest, 1))
-            alpha = 4 if db1.nucleotides else 20
-            # the variant join runs ONE grouping over (variants + big)
-            # rows; the pigeonhole runs d+1 groupings + gathers over
-            # everything. Cheaper while the variant rows cost less
-            # than the d extra full passes they replace.
-            if (
-                spec.differences == 1
-                and db2 is not db1
-                and nmin <= (1 << 16)
-                and nmin * lmax * alpha < db1.n + db2.n
-            ):
+            if vj_prep is not None or variant_join_route(db1, db2, spec):
                 ph = _find_pairs_variant_join(
-                    db1, db2, spec, logger, progress_prompt
+                    db1, db2, spec, logger, progress_prompt, prep=vj_prep
                 )
             else:
                 ph = _find_pairs_pigeonhole(
@@ -955,30 +980,53 @@ def find_pairs(
     if w:
         dummy = np.array([[npad_a - tile, npad_b - tile]], dtype=np.int32)
 
+        # multi-chip: replicate both packed sets onto every device and
+        # give each device a contiguous span of the tile worklist.
+        devs = _sparse_devices()
+        n_dev = max(1, min(len(devs), w // _TILES_PER_DEVICE_MIN))
+        combo = (a_args, b_args, pa_a, pb_b)
+        replicas = [combo] + [
+            _put_tree(combo, devs[di]) for di in range(1, n_dev)
+        ]
+
         # phase 1: per-tile match counts; drop empty tiles and use the
         # exact counts to bound each extraction dispatch's record
         # buffer. On TPU this is a Pallas MXU kernel (the XLA scan
         # serialises tiny VPU tiles, ~10^4x slower on million-tile
         # worklists).
-        if on_tpu:
-            from .pallas_kernels import count_tiles_pallas
+        span = [w * di // n_dev for di in range(n_dev + 1)]
+        cand_parts: list[np.ndarray] = []
+        cnt_parts: list = []
+        for di in range(n_dev):
+            cw = work[span[di] : span[di + 1]]
+            if len(cw) == 0:
+                continue
+            ra, rb, rpa, rpb = replicas[di]
+            if on_tpu:
+                from .pallas_kernels import count_tiles_pallas
 
-            cand = work
-            counts = count_tiles_pallas(
-                pa_a, pb_b, work,
-                differences=spec.differences,
-                indels=spec.indels and spec.differences == 1,
-                ignore_genes=spec.ignore_genes,
-                exclude_self=spec.exclude_self,
-                tile_m=tile, tile_n=tile,
-            )
-        else:
-            cand = pad_worklist_n(work, npad_a, npad_b, tile, tile)
-            counts = np.asarray(
-                _count_fn(spec, tile, tile)(
-                    *a_args, *b_args, jnp.asarray(cand)
+                cand_parts.append(cw)
+                cnt_parts.append(
+                    count_tiles_pallas(
+                        rpa, rpb, cw,
+                        differences=spec.differences,
+                        indels=spec.indels and spec.differences == 1,
+                        ignore_genes=spec.ignore_genes,
+                        exclude_self=spec.exclude_self,
+                        tile_m=tile, tile_n=tile,
+                    )
                 )
-            )
+            else:
+                cd = pad_worklist_n(cw, npad_a, npad_b, tile, tile)
+                cand_parts.append(cd)
+                cnt_parts.append(
+                    _count_fn(spec, tile, tile)(
+                        *ra, *rb,
+                        jax.device_put(jnp.asarray(cd), devs[di]),
+                    )
+                )
+        cand = np.concatenate(cand_parts)
+        counts = np.concatenate([np.asarray(c) for c in cnt_parts])
         nonzero = counts > 0
         work = cand[nonzero]
         tile_counts = counts[nonzero]
@@ -1003,9 +1051,10 @@ def find_pairs(
         if on_tpu:
             from .pallas_kernels import extract_tiles_pallas
 
-            def run_slab(slab):
+            def run_slab(slab, di):
+                _ra, _rb, rpa, rpb = replicas[di]
                 return extract_tiles_pallas(
-                    pa_a, pb_b, slab,
+                    rpa, rpb, slab,
                     differences=spec.differences,
                     indels=spec.indels and spec.differences == 1,
                     ignore_genes=spec.ignore_genes,
@@ -1015,17 +1064,23 @@ def find_pairs(
         else:
             run = _extract_fn(spec, tile, tile, s_extract, k_cap)
 
-            def run_slab(slab):
-                return run(*a_args, *b_args, jnp.asarray(slab))
+            def run_slab(slab, di):
+                ra, rb, _rpa, _rpb = replicas[di]
+                return run(
+                    *ra, *rb,
+                    jax.device_put(jnp.asarray(slab), devs[di]),
+                )
 
         wpr = tile // 32  # match-bit words per tile row
         wpt = tile * wpr  # words per tile
 
         # dispatch every slab asynchronously first (device queues the
-        # work), then download: D2H transfers overlap the remaining
-        # slab compute instead of serialising one round trip per slab
+        # work; slabs round-robin across the device replicas), then
+        # download: D2H transfers overlap the remaining slab compute
+        # instead of serialising one round trip per slab
         pending = []
         s0 = 0
+        di = 0
         while s0 < w:
             s1 = s0
             acc = 0
@@ -1036,13 +1091,18 @@ def find_pairs(
             ):
                 acc += tile_counts[s1]
                 s1 += 1
+            # forced progress: a single tile can't exceed k_cap today
+            # (tile*tile <= K_EXTRACT_BIG for every tile size), but an
+            # empty slab must never loop forever if that changes
+            s1 = max(s1, s0 + 1)
             slab = work[s0:s1]
             nreal = len(slab)
             if nreal < s_extract:
                 slab = np.concatenate(
                     [slab, np.repeat(dummy, s_extract - nreal, axis=0)]
                 )
-            pending.append((slab, nreal, run_slab(slab)))
+            pending.append((slab, nreal, run_slab(slab, di)))
+            di = (di + 1) % n_dev
             s0 = s1
 
         done = 0

@@ -11,17 +11,19 @@ Grid = one program per worklist tile, driven by scalar-prefetched
 accumulate into the single [R1p, R2p] output block, which Pallas keeps
 resident in VMEM across the whole grid (the classic reduction layout).
 
-Layout choices: set-2 per-sequence scalars (length, V, J, repertoire,
-count) are stored as [1, N] rows and the set-2 residues additionally as
-a transposed [lpad, N] matrix, so every in-kernel broadcast is a native
+Layout choices: per-sequence scalars (length, V, J, repertoire, count)
+are stored as [1, N] rows, so every in-kernel broadcast is a native
 [TM, 1] x [1, TN] op — no sublane/lane transposes inside the kernel.
+Residues (forward and, for indel runs, reversed) are row-major
+[N, lpad] on both sides; all distance work runs on the MXU.
 
 Distance semantics identical to ops/engine.py:
   * equal lengths: Hamming = padded_width - one-hot matches
     (pad residue matches itself)
   * |len diff| == 1 with indels at d=1: match iff common_prefix +
     common_suffix >= min(len) (the reference's one-indel criterion,
-    /root/reference/src/variants.cc:197-216)
+    /root/reference/src/variants.cc:197-216), with the prefix/suffix
+    lengths extracted from weighted one-hot matmuls (_first_mismatch)
 """
 
 from __future__ import annotations
@@ -52,13 +54,25 @@ def _onehot(seq_i8, nclass: int):
 
 
 @lru_cache(maxsize=None)
-def _dummy_i8(shape: tuple):
+def _dummy_i8(shape: tuple, device=None):
     """Tiny placeholder block for kernel inputs that are compile-time
     unused (the reversed/transposed residue matrices when indels are
     off) — their BlockSpecs use a constant (0, 0) index map, so only
     this one block ever loads. Saves deriving and keeping [N, Lmax]
-    transposes resident (~1.8 GB at 24M sequences)."""
-    return jax.device_put(np.zeros(shape, np.int8))
+    transposes resident (~1.8 GB at 24M sequences). `device` pins the
+    placeholder next to the real operands (multi-device dispatch mixes
+    committed inputs, which must all share a device)."""
+    return jax.device_put(np.zeros(shape, np.int8), device)
+
+
+def _device_of(x):
+    """The single device a committed array lives on (None when the
+    placement is unknown/uncommitted)."""
+    try:
+        (dev,) = x.devices()
+        return dev
+    except Exception:
+        return None
 
 
 def _score_tile(ca, cb, score_int: int, ignore_counts: bool):
@@ -86,9 +100,55 @@ def _score_tile(ca, cb, score_int: int, ignore_counts: bool):
     return (ca + cb) * 0.5
 
 
+_BAND = 24  # first-mismatch band width: sums of 2^0..2^-23 are exact f32
+
+
+def _first_mismatch(a_seq, b_seq, lpad: int):
+    """[TM, TN] index of the first aligned mismatch between every row
+    pair (lpad when the padded rows agree everywhere) — the common
+    prefix length, computed on the MXU instead of a per-position VPU
+    scan: weight each one-hot lane by 2^-(p - band_start); the matched
+    weight sum then encodes the first mismatching position in its f32
+    EXPONENT (mismatch weights are distinct powers of two, so sums of
+    <= 24 of them are exact and the leading term determines the
+    exponent), which an i32 bitcast extracts exactly. Bands of 24
+    positions keep every sum exactly representable for any lpad."""
+    oh_a = _onehot(a_seq, NCLASS).astype(jnp.float32)
+    oh_b = _onehot(b_seq, NCLASS).astype(jnp.float32)
+    lanes = oh_a.shape[1]
+    # _onehot puts feature (c, p) at lane c*lpad + p
+    lane_pos = lax.broadcasted_iota(jnp.int32, (1, lanes), 1) % lpad
+
+    tm = a_seq.shape[0]
+    tn = b_seq.shape[0]
+    pref = jnp.zeros((tm, tn), dtype=jnp.int32)
+    alive = jnp.ones((tm, tn), dtype=jnp.bool_)
+    for lo in range(0, lpad, _BAND):
+        hi = min(lo + _BAND, lpad)
+        w = jnp.where(
+            (lane_pos >= lo) & (lane_pos < hi),
+            jnp.exp2(-(lane_pos - lo).astype(jnp.float32)),
+            0.0,
+        )
+        msum = lax.dot_general(
+            oh_a * w,
+            oh_b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        wtot = float(2.0 - 2.0 ** (-(hi - lo - 1)))  # sum 2^0..2^-(k-1)
+        x = wtot - msum  # sum of the mismatched weights; exact
+        bits = lax.bitcast_convert_type(x, jnp.int32)
+        expo = ((bits >> 23) & 0xFF) - 127
+        q = jnp.where(x > 0.0, -expo, hi - lo)
+        pref = pref + jnp.where(alive, q, 0)
+        alive = alive & (x <= 0.0)
+    return pref
+
+
 def _match_tile_pallas(
     a_seq, a_rseq, a_len, a_v, a_j,
-    b_seq, b_seqT, b_rseqT, b_len, b_v, b_j,
+    b_seq, b_rseq, b_len, b_v, b_j,
     *,
     differences: int,
     indels: bool,
@@ -98,7 +158,8 @@ def _match_tile_pallas(
     tile_n: int,
 ):
     """Shared in-kernel match mask (refs already loaded): one-hot int8
-    MXU matmul Hamming + optional one-indel prefix/suffix check +
+    MXU matmul Hamming + optional one-indel prefix/suffix check (also
+    MXU, via _first_mismatch over the forward and reversed rows) +
     gene/length/validity masks. Returns (match bool [TM,TN],
     len_pm1 bool [TM,TN] or None)."""
     oh_a = _onehot(a_seq, NCLASS)
@@ -119,23 +180,10 @@ def _match_tile_pallas(
     len_pm1 = None
 
     if indels:
-        pref_alive = jnp.ones((tile_m, tile_n), dtype=jnp.int32)
-        suf_alive = jnp.ones((tile_m, tile_n), dtype=jnp.int32)
-        pref = jnp.zeros((tile_m, tile_n), dtype=jnp.int32)
-        suf = jnp.zeros((tile_m, tile_n), dtype=jnp.int32)
-        for p in range(lpad):
-            eq_f = (
-                a_seq[:, p : p + 1].astype(jnp.int32)
-                == b_seqT[p : p + 1, :].astype(jnp.int32)
-            ).astype(jnp.int32)
-            pref_alive = pref_alive * eq_f
-            pref = pref + pref_alive
-            eq_b = (
-                a_rseq[:, p : p + 1].astype(jnp.int32)
-                == b_rseqT[p : p + 1, :].astype(jnp.int32)
-            ).astype(jnp.int32)
-            suf_alive = suf_alive * eq_b
-            suf = suf + suf_alive
+        # one-indel criterion (variants.cc:197-216): common prefix +
+        # common suffix >= min(len) for |len difference| == 1
+        pref = _first_mismatch(a_seq, b_seq, lpad)
+        suf = _first_mismatch(a_rseq, b_rseq, lpad)
         minlen = jnp.minimum(la + jnp.zeros_like(lb), lb)
         len_pm1 = jnp.abs(la - lb) == 1
         match = match | (len_pm1 & (pref + suf >= minlen))
@@ -169,8 +217,7 @@ def _make_kernel(
         a_rep,
         a_cnt,
         b_seq,
-        b_seqT,
-        b_rseqT,
+        b_rseq,
         b_len,
         b_v,
         b_j,
@@ -186,7 +233,7 @@ def _make_kernel(
 
         match, _ = _match_tile_pallas(
             a_seq[:], a_rseq[:], a_len[:].T, a_v[:].T, a_j[:].T,
-            b_seq[:], b_seqT[:], b_rseqT[:], b_len[:], b_v[:], b_j[:],
+            b_seq[:], b_rseq[:], b_len[:], b_v[:], b_j[:],
             differences=differences, indels=indels,
             ignore_genes=ignore_genes, lpad=lpad,
             tile_m=tile_m, tile_n=tile_n,
@@ -275,9 +322,9 @@ def _dense_pallas_fn(
             memory_space=pltpu.VMEM,
         )
 
-    def bT_dummy(height):
+    def b_dummy(width):
         return pl.BlockSpec(
-            (height, tile_n),
+            (tile_n, width),
             index_map=lambda i, rows, cols: (0, 0),
             memory_space=pltpu.VMEM,
         )
@@ -303,8 +350,7 @@ def _dense_pallas_fn(
             aT_spec(1),  # a_rep
             aT_spec(1),  # a_cnt
             b_spec(lpad),  # b_seq
-            bT_spec(lpad) if indels else bT_dummy(lpad),  # b_seqT
-            bT_spec(lpad) if indels else bT_dummy(lpad),  # b_rseqT
+            b_spec(lpad) if indels else b_dummy(lpad),  # b_rseq
             bT_spec(1),  # b_len
             bT_spec(1),  # b_v
             bT_spec(1),  # b_j
@@ -347,8 +393,7 @@ def _make_count_kernel(
         a_j,
         a_orig,
         b_seq,
-        b_seqT,
-        b_rseqT,
+        b_rseq,
         b_len,
         b_v,
         b_j,
@@ -357,7 +402,7 @@ def _make_count_kernel(
     ):
         match, _ = _match_tile_pallas(
             a_seq[:], a_rseq[:], a_len[:].T, a_v[:].T, a_j[:].T,
-            b_seq[:], b_seqT[:], b_rseqT[:], b_len[:], b_v[:], b_j[:],
+            b_seq[:], b_rseq[:], b_len[:], b_v[:], b_j[:],
             differences=differences, indels=indels,
             ignore_genes=ignore_genes, lpad=lpad,
             tile_m=tile_m, tile_n=tile_n,
@@ -426,9 +471,9 @@ def _count_pallas_fn(
             memory_space=pltpu.VMEM,
         )
 
-    def bT_dummy(height):
+    def b_row_dummy(width):
         return pl.BlockSpec(
-            (height, tile_n),
+            (tile_n, width),
             index_map=lambda i, rows, cols: (0, 0),
             memory_space=pltpu.VMEM,
         )
@@ -453,8 +498,7 @@ def _count_pallas_fn(
             aT_spec(1),  # a_j
             aT_spec(1),  # a_orig
             b_row_spec(lpad),  # b_seq
-            bT_spec(lpad) if indels else bT_dummy(lpad),  # b_seqT
-            bT_spec(lpad) if indels else bT_dummy(lpad),  # b_rseqT
+            b_row_spec(lpad) if indels else b_row_dummy(lpad),  # b_rseq
             bT_spec(1),  # b_len
             bT_spec(1),  # b_v
             bT_spec(1),  # b_j
@@ -504,8 +548,7 @@ def _make_extract_kernel(
         a_j,
         a_orig,
         b_seq,
-        b_seqT,
-        b_rseqT,
+        b_rseq,
         b_len,
         b_v,
         b_j,
@@ -514,7 +557,7 @@ def _make_extract_kernel(
     ):
         match, _ = _match_tile_pallas(
             a_seq[:], a_rseq[:], a_len[:].T, a_v[:].T, a_j[:].T,
-            b_seq[:], b_seqT[:], b_rseqT[:], b_len[:], b_v[:], b_j[:],
+            b_seq[:], b_rseq[:], b_len[:], b_v[:], b_j[:],
             differences=differences, indels=indels,
             ignore_genes=ignore_genes, lpad=lpad,
             tile_m=tile_m, tile_n=tile_n,
@@ -603,9 +646,9 @@ def _extract_pallas_fn(
             memory_space=pltpu.VMEM,
         )
 
-    def bT_dummy(height):
+    def b_row_dummy(width):
         return pl.BlockSpec(
-            (height, tile_n),
+            (tile_n, width),
             index_map=lambda i, rows, cols: (0, 0),
             memory_space=pltpu.VMEM,
         )
@@ -630,8 +673,7 @@ def _extract_pallas_fn(
             aT_spec(1),  # a_j
             aT_spec(1),  # a_orig
             b_row_spec(lpad),  # b_seq
-            bT_spec(lpad) if indels else bT_dummy(lpad),  # b_seqT
-            bT_spec(lpad) if indels else bT_dummy(lpad),  # b_rseqT
+            b_row_spec(lpad) if indels else b_row_dummy(lpad),  # b_rseq
             bT_spec(1),  # b_len
             bT_spec(1),  # b_v
             bT_spec(1),  # b_j
@@ -682,19 +724,19 @@ def extract_tiles_pallas(
     """Dispatch one padded extraction slab; returns device
     (word_indices, word_bits, count)."""
     lpad = pa["seqs"].shape[1]
+    dev = _device_of(pa["seqs"])
     fn = _extract_pallas_fn(
         differences, indels, ignore_genes, exclude_self,
         lpad, tile_m, tile_n, int(len(slab)), k, interpret,
     )
-    rows = jnp.asarray((slab[:, 0] // tile_m).astype(np.int32))
-    cols = jnp.asarray((slab[:, 1] // tile_n).astype(np.int32))
-    a_rseq = pa["rseqs"] if indels else _dummy_i8((tile_m, lpad))
-    b_seqT = pb["seqsT"] if indels else _dummy_i8((lpad, tile_n))
-    b_rseqT = pb["rseqsT"] if indels else _dummy_i8((lpad, tile_n))
+    rows = jax.device_put((slab[:, 0] // tile_m).astype(np.int32), dev)
+    cols = jax.device_put((slab[:, 1] // tile_n).astype(np.int32), dev)
+    a_rseq = pa["rseqs"] if indels else _dummy_i8((tile_m, lpad), dev)
+    b_rseq = pb["rseqs"] if indels else _dummy_i8((tile_n, lpad), dev)
     return fn(
         rows, cols,
         pa["seqs"], a_rseq, pa["len"], pa["v"], pa["j"], pa["orig"],
-        pb["seqs"], b_seqT, b_rseqT, pb["len"], pb["v"],
+        pb["seqs"], b_rseq, pb["len"], pb["v"],
         pb["j"], pb["orig"],
     )
 
@@ -749,12 +791,12 @@ def count_tiles_pallas(
     lpad = pa["seqs"].shape[1]
     npad_a = pa["seqs"].shape[0]
     npad_b = pb["seqs"].shape[0]
-    a_rseq = pa["rseqs"] if indels else _dummy_i8((tile_m, lpad))
-    b_seqT = pb["seqsT"] if indels else _dummy_i8((lpad, tile_n))
-    b_rseqT = pb["rseqsT"] if indels else _dummy_i8((lpad, tile_n))
+    dev = _device_of(pa["seqs"])
+    a_rseq = pa["rseqs"] if indels else _dummy_i8((tile_m, lpad), dev)
+    b_rseq = pb["rseqs"] if indels else _dummy_i8((tile_n, lpad), dev)
     args = (
         pa["seqs"], a_rseq, pa["len"], pa["v"], pa["j"], pa["orig"],
-        pb["seqs"], b_seqT, b_rseqT, pb["len"], pb["v"],
+        pb["seqs"], b_rseq, pb["len"], pb["v"],
         pb["j"], pb["orig"],
     )
     outs = []
@@ -765,8 +807,8 @@ def count_tiles_pallas(
             differences, indels, ignore_genes, exclude_self,
             lpad, tile_m, tile_n, int(len(chunk)), interpret,
         )
-        rows = jnp.asarray((chunk[:, 0] // tile_m).astype(np.int32))
-        cols = jnp.asarray((chunk[:, 1] // tile_n).astype(np.int32))
+        rows = jax.device_put((chunk[:, 0] // tile_m).astype(np.int32), dev)
+        cols = jax.device_put((chunk[:, 1] // tile_n).astype(np.int32), dev)
         outs.append((fn(rows, cols, *args), c))
     return np.concatenate([np.asarray(o)[:c] for o, c in outs])
 
@@ -899,6 +941,9 @@ def _gather_derive_fn(pad_val: int, lmax: int, with_indels: bool):
             len=row(lengths_s), v=row(v_s), j=row(j_s),
             rep=row(rep_s), cnt=row(cnt_s),
         )
+        # both sides consume the same row layouts (the indel
+        # prefix/suffix check is MXU matmuls over row-major one-hots,
+        # _first_mismatch — no transposed copies exist any more)
         a = dict(
             seqs=seqs_s,
             rseqs=rseqs if with_indels else None,
@@ -906,8 +951,7 @@ def _gather_derive_fn(pad_val: int, lmax: int, with_indels: bool):
         )
         b = dict(
             seqs=seqs_s,
-            seqsT=seqs_s.T if with_indels else None,
-            rseqsT=rseqs.T if with_indels else None,
+            rseqs=rseqs if with_indels else None,
             **scal,
         )
         return a, b
@@ -921,8 +965,8 @@ def _gather_sparse_fn(pad_val: int, lmax: int, with_indels: bool):
     count/extract kernels consume, from one raw (packed) upload.
     `orig` is derived on device from the order permutation itself
     (pads point at the sentinel index, a traced scalar), not uploaded.
-    Reversed rows and the set-2 transposes exist only when the indel
-    check needs them — at 24M sequences they are ~1.8 GB of HBM."""
+    Reversed rows exist only when the indel check needs them — at 24M
+    sequences they are ~0.6 GB of HBM."""
 
     @jax.jit
     def f(seqs_packed, lengths, v, j, sentinel, order):
@@ -947,12 +991,7 @@ def _gather_sparse_fn(pad_val: int, lmax: int, with_indels: bool):
             rseqs=rseqs if with_indels else None,
             **scal,
         )
-        pb = dict(
-            seqs=seqs_s,
-            seqsT=seqs_s.T if with_indels else None,
-            rseqsT=rseqs.T if with_indels else None,
-            **scal,
-        )
+        pb = dict(pa)
         return pa, pb
 
     return f
@@ -1096,12 +1135,12 @@ def _dense_pallas_chunk(
         int(len(rows)),
         interpret,
     )
-    a_rseq = a_dev["rseqs"] if indels else _dummy_i8((tile_m, lpad))
-    b_seqT = b_dev["seqsT"] if indels else _dummy_i8((lpad, tile_n))
-    b_rseqT = b_dev["rseqsT"] if indels else _dummy_i8((lpad, tile_n))
+    dev = _device_of(a_dev["seqs"])
+    a_rseq = a_dev["rseqs"] if indels else _dummy_i8((tile_m, lpad), dev)
+    b_rseq = b_dev["rseqs"] if indels else _dummy_i8((tile_n, lpad), dev)
     return fn(
-        jnp.asarray(rows),
-        jnp.asarray(cols),
+        jax.device_put(rows, dev),
+        jax.device_put(cols, dev),
         a_dev["seqs"],
         a_rseq,
         a_dev["len"],
@@ -1110,8 +1149,7 @@ def _dense_pallas_chunk(
         a_dev["rep"],
         a_dev["cnt"],
         b_dev["seqs"],
-        b_seqT,
-        b_rseqT,
+        b_rseq,
         b_dev["len"],
         b_dev["v"],
         b_dev["j"],

@@ -152,22 +152,35 @@ def _piece_rows(db: SeqDB, p: int, pieces: int, w_max: int) -> np.ndarray:
     return out
 
 
-def _find_pairs_variant_join(
-    db1: SeqDB,
-    db2: SeqDB,
-    spec: MatchSpec,
-    logger: Optional[Logger] = None,
-    progress_prompt: Optional[str] = None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Asymmetric d=1 substitution matching: materialise every
-    single-substitution variant of the smaller set (the reference's
-    generate_variants_1, /root/reference/src/variants.cc:280-293, as
-    one tensor instead of per-seed hash probes) and exact-join them
-    against the larger set through the native table. A variant equals
-    a big-set row iff the pair matches, so no verification pass is
-    needed; one grouping over (small x L x A + big) rows replaces the
-    pigeonhole's d+1 passes over the full union — the win when one
-    side is tiny (existence queries)."""
+class VariantJoinPrep:
+    """Precomputed union grouping for the asymmetric d=1 variant join.
+
+    Built during the duplicate-warning phase (modes/overlap.py) so the
+    expensive grouping over (small-set variants + big-set rows) runs
+    once: `gb` — the big set's (sequence, genes) group ids — yields the
+    big set's duplicate count for free (refined by repertoire), and
+    find_pairs reuses the whole structure for the join itself."""
+
+    __slots__ = ("gv", "gb", "small_is_1", "W", "ns")
+
+    def __init__(self, gv, gb, small_is_1, W, ns):
+        self.gv = gv
+        self.gb = gb
+        self.small_is_1 = small_is_1
+        self.W = W
+        self.ns = ns
+
+
+def prepare_variant_join(
+    db1: SeqDB, db2: SeqDB, spec: MatchSpec
+) -> VariantJoinPrep:
+    """Materialise every single-substitution variant of the smaller
+    set (the reference's generate_variants_1,
+    /root/reference/src/variants.cc:280-293, as one tensor instead of
+    per-seed hash probes) and group them together with the larger
+    set's rows on (sequence, genes) through the native table. A
+    variant equals a big-set row iff the pair matches, so no
+    verification pass is needed."""
     from ..core.exact import group_rows
 
     n1, n2 = db1.n, db2.n
@@ -175,9 +188,6 @@ def _find_pairs_variant_join(
     dbs, dbb = (db1, db2) if small_is_1 else (db2, db1)
     ns = dbs.n
     A = 4 if db1.nucleotides else 20
-    started = logger is not None and progress_prompt is not None
-    if started:
-        logger.progress_init(progress_prompt, 2)
 
     lmax = int(max(db1.longest, db2.longest, 1))
     db1.repad(lmax)
@@ -211,12 +221,41 @@ def _find_pairs_variant_join(
     )
     g, _ng = group_rows(rows, meta, db1.pad_value)
     del rows, V
-    gv = g[: ns * W * A]
-    gb = g[ns * W * A :]
+    return VariantJoinPrep(
+        gv=g[: ns * W * A], gb=g[ns * W * A :],
+        small_is_1=small_is_1, W=W, ns=ns,
+    )
+
+
+def _find_pairs_variant_join(
+    db1: SeqDB,
+    db2: SeqDB,
+    spec: MatchSpec,
+    logger: Optional[Logger] = None,
+    progress_prompt: Optional[str] = None,
+    prep: Optional[VariantJoinPrep] = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Asymmetric d=1 substitution matching via the precomputed union
+    grouping (prepare_variant_join): one grouping over
+    (small x L x A + big) rows replaces the pigeonhole's d+1 passes
+    over the full union — the win when one side is tiny (existence
+    queries)."""
+    n1, n2 = db1.n, db2.n
+    started = logger is not None and progress_prompt is not None
+    if started:
+        logger.progress_init(progress_prompt, 2)
+
+    if prep is None:
+        prep = prepare_variant_join(db1, db2, spec)
+    small_is_1 = prep.small_is_1
+    dbs, dbb = (db1, db2) if small_is_1 else (db2, db1)
+    W = prep.W
+    gv, gb = prep.gv, prep.gb
     if started:
         logger.progress_update(1)
 
     iv, ib = _join_groups(gv, gb)
+    A = 4 if db1.nucleotides else 20
     seed = iv // (W * A)
     keys = np.unique(seed * np.int64(dbb.n) + ib)
     i_s = keys // dbb.n

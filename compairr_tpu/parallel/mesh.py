@@ -121,17 +121,19 @@ def _shard_worklists(
     lists = []
     for k in range(n_shards):
         lo, hi = bounds[k]
-        wl = worklist_from_keys(
-            stacked_keys[k], hi - lo, b.key, b.n, delta, tile_m, tile_n
+        lists.append(
+            worklist_from_keys(
+                stacked_keys[k], hi - lo, b.key, b.n, delta, tile_m,
+                tile_n,
+            )
         )
-        lists.append([tuple(t) for t in wl])
     wmax = max(max((len(t) for t in lists), default=0), 1)
     work = np.zeros((n_shards, wmax, 2), dtype=np.int32)
     work[:, :, 0] = chunk - tile_m  # dummy: shard's all-pad tile
     work[:, :, 1] = b.np_ - tile_n
     for k, tiles in enumerate(lists):
-        if tiles:
-            work[k, : len(tiles)] = np.asarray(tiles, dtype=np.int32)
+        if len(tiles):
+            work[k, : len(tiles)] = tiles
     return work
 
 
@@ -152,11 +154,12 @@ def dense_matrix_sharded(
 
     lmax = int(max(db1.longest, db2.longest, 1))
     by_vjl = not spec.ignore_genes
-    a = pack_set(db1, lmax, tile_m, by_vjl)
+    use_indels = spec.indels and spec.differences == 1
+    a = pack_set(db1, lmax, tile_m, by_vjl, need_rseqs=use_indels)
     b = (
         a
         if db2 is db1 and tile_m == tile_n
-        else pack_set(db2, lmax, tile_n, by_vjl)
+        else pack_set(db2, lmax, tile_n, by_vjl, need_rseqs=use_indels)
     )
 
     stacked, chunk, bounds = _shard_packed(a, n_shards, tile_m)
@@ -252,9 +255,10 @@ def dense_matrix_ring(
 
     lmax = int(max(db1.longest, db2.longest, 1))
     by_vjl = not spec.ignore_genes
-    a = pack_set(db1, lmax, tile_m, by_vjl)
+    use_indels = spec.indels and spec.differences == 1
+    a = pack_set(db1, lmax, tile_m, by_vjl, need_rseqs=use_indels)
     b = a if db2 is db1 and tile_m == tile_n else pack_set(
-        db2, lmax, tile_n, by_vjl
+        db2, lmax, tile_n, by_vjl, need_rseqs=use_indels
     )
 
     a_stacked, a_chunk, a_bounds = _shard_packed(a, n_shards, tile_m)

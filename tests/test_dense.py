@@ -100,8 +100,8 @@ def test_device_derivations_match_host_pack(dbs):
     v = np.asarray(pa["v"]).ravel()
     j = np.asarray(pa["j"]).ravel()
     orig = np.asarray(pa["orig"]).ravel()
-    np.testing.assert_array_equal(np.asarray(pb["seqsT"]).T, seqs)
-    np.testing.assert_array_equal(np.asarray(pb["rseqsT"]).T, rseqs)
+    np.testing.assert_array_equal(np.asarray(pb["seqs"]), seqs)
+    np.testing.assert_array_equal(np.asarray(pb["rseqs"]), rseqs)
     n = d1.n
     np.testing.assert_array_equal(seqs[:n], p.seqs[:n])
     np.testing.assert_array_equal(rseqs[:n], p.rseqs[:n])
@@ -120,10 +120,10 @@ def test_device_derivations_match_host_pack(dbs):
         np.asarray(dev["a"]["len"]).ravel()[:n], p.lengths[:n]
     )
     np.testing.assert_array_equal(
-        np.asarray(dev["b"]["seqsT"]).T[:n], p.seqs[:n]
+        np.asarray(dev["b"]["seqs"])[:n], p.seqs[:n]
     )
     np.testing.assert_array_equal(
-        np.asarray(dev["b"]["rseqsT"]).T[:n], p.rseqs[:n]
+        np.asarray(dev["b"]["rseqs"])[:n], p.rseqs[:n]
     )
     np.testing.assert_array_equal(
         np.asarray(dev["b"]["cnt"]).ravel()[:n],
@@ -340,7 +340,7 @@ def test_chunked_derive_matches_host_pack(dbs, monkeypatch):
     np.testing.assert_array_equal(orig[:n], p.orig[:n])
     dev = P.device_args_raw(d1, order, npad, lmax)
     np.testing.assert_array_equal(
-        np.asarray(dev["b"]["rseqsT"]).T[:n], p.rseqs[:n]
+        np.asarray(dev["b"]["rseqs"])[:n], p.rseqs[:n]
     )
     monkeypatch.undo()
     P._gather_sparse_fn.cache_clear()
