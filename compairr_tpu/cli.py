@@ -445,6 +445,23 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     opt = args_init(argv)
 
+    from .config import set_runtime_threads
+
+    set_runtime_threads(opt.threads)
+
+    # multi-host initialisation (only when COMPAIRR_DISTRIBUTED or the
+    # standard JAX coordinator env vars request it): after this, all
+    # chips of all hosts form the global device mesh. Gated on the env
+    # so host-only runs never pay the jax import.
+    import os as _os
+
+    if _os.environ.get("COMPAIRR_DISTRIBUTED") or _os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    ):
+        from .parallel.mesh import initialize_distributed
+
+        initialize_distributed()
+
     # open files (compairr.cc:708-729)
     if opt.log:
         try:

@@ -56,9 +56,6 @@ class Options:
     # parsed keep-columns names (derived from keep_columns)
     keep_columns_names: tuple[str, ...] = field(default_factory=tuple)
 
-    # engine selection: "auto" | "pallas" | "jnp"
-    engine: str = "auto"
-
     @property
     def alphabet_size(self) -> int:
         return NT_ALPHABET_SIZE if self.nucleotides else AA_ALPHABET_SIZE
@@ -72,3 +69,19 @@ class Options:
 
     def with_(self, **kw) -> "Options":
         return replace(self, **kw)
+
+
+# host-side worker count for the current run (-t/--threads): the native
+# parser shards its input by line ranges and the native grouping passes
+# insert with CAS — both bit-identical for any count. Set by cli.main;
+# library users call set_runtime_threads directly.
+_runtime_threads = 1
+
+
+def set_runtime_threads(n: int) -> None:
+    global _runtime_threads
+    _runtime_threads = max(1, int(n))
+
+
+def runtime_threads() -> int:
+    return _runtime_threads

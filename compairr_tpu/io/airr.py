@@ -153,12 +153,17 @@ def read_db(
     logger: Logger,
     require_sequence_id: bool,
     default_repertoire_id: str,
+    shard: Optional[tuple[int, int]] = None,
 ) -> SeqDB:
     """Read one AIRR TSV file into a SeqDB (db.cc:708-901).
 
     Uses the native C++ parser (native/libairr_parser.so) when built
     and the input is a regular file; falls back to the pure-Python
     streaming parser otherwise. Both are semantics-identical.
+
+    shard=(k, n) reads only the k-th of n deterministic line-aligned
+    byte chunks — the per-host input sharding of a multi-host run
+    (requires the native parser).
     """
     if (
         filename
@@ -178,7 +183,13 @@ def read_db(
                 logger,
                 require_sequence_id,
                 default_repertoire_id,
+                shard=shard,
             )
+    if shard is not None and shard[1] > 1:
+        fatal(
+            "Sharded input reading requires the native parser "
+            "(build with `make -C native`) and a regular input file."
+        )
 
     if filename is None or filename == "-":
         fp: IO[bytes] = sys.stdin.buffer
@@ -431,43 +442,10 @@ def read_db(
 
     n = len(seq_buffers)
 
-    if ignored_unknown > 0:
-        logger.write(
-            f"{ignored_unknown} sequences with unknown symbols ignored.\n"
-        )
-    if ignored_empty > 0:
-        logger.write(f"{ignored_empty} empty sequences ignored.\n")
-
-    if n > 0:
-        logger.write(
-            "Repertoires:       %d\n"
-            "Sequences:         %d\n"
-            "Residues:          %d\n"
-            "Shortest:          %d\n"
-            "Longest:           %d\n"
-            "Average length:    %.1f\n"
-            "Total dupl. count: %d\n"
-            % (
-                len(rep_names),
-                n,
-                residues_count,
-                shortest,
-                longest,
-                1.0 * residues_count / n,
-                total_dup,
-            )
-        )
-    else:
-        logger.write(
-            "Repertoires:       %d\n"
-            "Sequences:         %d\n"
-            "Residues:          %d\n"
-            "Shortest:          -\n"
-            "Longest:           -\n"
-            "Average length:    -\n"
-            "Total dupl. count: %d\n"
-            % (len(rep_names), n, residues_count, total_dup)
-        )
+    _log_read_summary(
+        logger, n, len(rep_names), residues_count, shortest, longest,
+        total_dup, ignored_unknown, ignored_empty,
+    )
 
     # pack into fixed-width tensors ("Indexing" phase, db.cc:891-900)
     logger.progress_init("Indexing:         ", n)
@@ -662,6 +640,7 @@ def _read_db_native(
     logger: Logger,
     require_sequence_id: bool,
     default_repertoire_id: str,
+    shard: Optional[tuple[int, int]] = None,
 ) -> SeqDB:
     from .native import NativeSession
 
@@ -685,6 +664,8 @@ def _read_db_native(
         require_sequence_id=require_sequence_id,
         default_repertoire_id=default_repertoire_id,
         keep_names=opt.keep_columns_names,
+        threads=opt.threads,
+        shard=shard if shard is not None else (0, 1),
     )
     if res.status != 0:
         _native_error(res, opt, filename, logger)
@@ -737,6 +718,11 @@ def _read_db_native(
     seqs = pack_rows_native(data["residues"], data["lengths"], lmax, pad)
     if seqs is None:
         seqs = _pack_residues(data["residues"], data["lengths"], lmax, pad)
+    # the packed matrix now owns the residues; drop the parser's flat
+    # arena (it would otherwise double-store every residue — ~350 MB at
+    # Keck scale) after discarding the numpy view into it
+    data["residues"] = None
+    res.drop_residues()
     if n:
         logger.progress_update(n)
     logger.progress_done()

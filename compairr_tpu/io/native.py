@@ -53,7 +53,13 @@ def load_library():
         ct.c_char_p,
         ct.POINTER(ct.c_char_p),
         ct.c_int,
+        ct.c_int,  # n_threads
+        ct.c_int,  # range_k
+        ct.c_int,  # range_n
     ]
+    if hasattr(lib, "airr_drop_residues"):
+        lib.airr_drop_residues.argtypes = [ct.c_void_p]
+        lib.airr_drop_residues.restype = None
     for name, restype in [
         ("airr_status", ct.c_int32),
         ("airr_err_lineno", ct.c_int64),
@@ -216,6 +222,32 @@ def load_library():
             ct.POINTER(ct.c_uint64),
             ct.POINTER(ct.c_int64),
         ]
+    if hasattr(lib, "group_rows_pre_mt"):
+        lib.group_rows_pre_mt.restype = ct.c_int64
+        lib.group_rows_pre_mt.argtypes = [
+            ct.POINTER(ct.c_int8),
+            ct.c_int64,
+            ct.c_int64,
+            ct.POINTER(ct.c_int32),
+            ct.c_int32,
+            ct.POINTER(ct.c_uint64),
+            ct.c_int32,
+            ct.POINTER(ct.c_int64),
+        ]
+    if hasattr(lib, "group_pieces_mt"):
+        lib.group_pieces_mt.restype = ct.c_int64
+        lib.group_pieces_mt.argtypes = [
+            ct.POINTER(ct.c_int8),
+            ct.c_int64,
+            ct.c_int64,
+            ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int32),
+            ct.c_int32,
+            ct.c_int32,
+            ct.c_int32,
+            ct.c_int32,
+            ct.POINTER(ct.c_int64),
+        ]
 
     if hasattr(lib, "write_cluster_tsv"):
         lib.write_cluster_tsv.restype = ct.c_int
@@ -341,6 +373,8 @@ def write_matrix_native(outfile, values, row_labels, header) -> bool:
     /root/reference/src/overlap.cc:991-1039). Returns False when the
     native library or a file descriptor is unavailable — callers fall
     back to the Python writer."""
+    if os.environ.get("COMPAIRR_NATIVE_IO") == "0":
+        return False
     lib = load_library()
     if lib is None or not hasattr(lib, "write_matrix_tsv"):
         return False
@@ -366,6 +400,8 @@ def write_threecol_native(
 ) -> bool:
     """3-column layout twin of write_matrix_native
     (overlap.cc:948-989)."""
+    if os.environ.get("COMPAIRR_NATIVE_IO") == "0":
+        return False
     lib = load_library()
     if lib is None or not hasattr(lib, "write_threecol_tsv"):
         return False
@@ -422,6 +458,8 @@ class NativeSession:
         require_sequence_id: bool,
         default_repertoire_id: str,
         keep_names: tuple,
+        threads: int = 1,
+        shard: tuple = (0, 1),
     ):
         lib = self.lib
         n_keep = len(keep_names)
@@ -441,6 +479,9 @@ class NativeSession:
             default_repertoire_id.encode("latin-1"),
             keep_arr,
             n_keep,
+            int(threads),
+            int(shard[0]),
+            int(shard[1]),
         )
         return NativeResult(lib, handle, self, n_keep)
 
@@ -456,6 +497,13 @@ class NativeResult:
         if getattr(self, "handle", None):
             self.lib.airr_result_free(self.handle)
             self.handle = None
+
+    def drop_residues(self) -> None:
+        """Free the flat residue arena once the packed [n, lmax] matrix
+        has adopted it (callers must discard every numpy view into the
+        arena first)."""
+        if hasattr(self.lib, "airr_drop_residues"):
+            self.lib.airr_drop_residues(self.handle)
 
     @property
     def status(self) -> int:
@@ -609,18 +657,38 @@ def group_rows_native(seqs, meta, prehash=None):
         hp = prehash.ctypes.data_as(ct.POINTER(ct.c_uint64))
     else:
         hp = ct.cast(None, ct.POINTER(ct.c_uint64))
-    ng = lib.group_rows_pre(
-        seqs.ctypes.data_as(ct.POINTER(ct.c_int8)),
-        n,
-        seqs.shape[1],
-        mp,
-        m,
-        hp,
-        out.ctypes.data_as(ct.POINTER(ct.c_int64)),
-    )
+    threads = _grouping_threads()
+    if threads > 1 and hasattr(lib, "group_rows_pre_mt"):
+        ng = lib.group_rows_pre_mt(
+            seqs.ctypes.data_as(ct.POINTER(ct.c_int8)),
+            n,
+            seqs.shape[1],
+            mp,
+            m,
+            hp,
+            threads,
+            out.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        )
+    else:
+        ng = lib.group_rows_pre(
+            seqs.ctypes.data_as(ct.POINTER(ct.c_int8)),
+            n,
+            seqs.shape[1],
+            mp,
+            m,
+            hp,
+            out.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        )
     if ng < 0:
         return None
     return out, int(ng)
+
+
+def _grouping_threads() -> int:
+    """Worker count for the native grouping passes (-t/--threads)."""
+    from ..config import runtime_threads
+
+    return runtime_threads()
 
 
 def write_cluster_native(outfile, db, order, sizes, seeds, nxt) -> bool:
@@ -752,17 +820,32 @@ def group_pieces_native(seqs, lengths, meta, piece: int, pieces: int):
     if m < 1:
         return None
     out = np.empty(n, dtype=np.int64)
-    ng = lib.group_pieces(
-        seqs.ctypes.data_as(ct.POINTER(ct.c_int8)),
-        n,
-        seqs.shape[1],
-        lengths.ctypes.data_as(ct.POINTER(ct.c_int32)),
-        meta.ctypes.data_as(ct.POINTER(ct.c_int32)),
-        m,
-        piece,
-        pieces,
-        out.ctypes.data_as(ct.POINTER(ct.c_int64)),
-    )
+    threads = _grouping_threads()
+    if threads > 1 and hasattr(lib, "group_pieces_mt"):
+        ng = lib.group_pieces_mt(
+            seqs.ctypes.data_as(ct.POINTER(ct.c_int8)),
+            n,
+            seqs.shape[1],
+            lengths.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            meta.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            m,
+            piece,
+            pieces,
+            threads,
+            out.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        )
+    else:
+        ng = lib.group_pieces(
+            seqs.ctypes.data_as(ct.POINTER(ct.c_int8)),
+            n,
+            seqs.shape[1],
+            lengths.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            meta.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            m,
+            piece,
+            pieces,
+            out.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        )
     if ng < 0:
         return None
     return out, int(ng)

@@ -5,10 +5,13 @@
 // compairr_tpu/io/airr.py: header column discovery, per-line
 // validation, residue encoding, per-file repertoire interning and
 // session-wide V/J gene interning, -u/-e/-f/-g behaviours. The design
-// is different from both: a single pass over a growing buffer with
-// column-slice records, arena-packed outputs shaped for zero-copy
-// adoption into numpy (fixed-width int8 residue matrix built by the
-// Python wrapper from the packed arena).
+// is different from both: the file is mmap'd and parsed in place by
+// N shards (one per thread, split at line boundaries), each with its
+// own output arenas and open-addressing interners; an order-preserving
+// merge concatenates the arenas and renumbers intern ids by global
+// first-occurrence, so the result is bit-identical for every thread
+// count — the analogue of the reference's -t option
+// (/root/reference/src/threads.h) applied to its serial db_read.
 //
 // Exposed as a C ABI for ctypes. Errors are reported as (kind, lineno,
 // character) tuples; the Python wrapper renders the exact reference
@@ -19,8 +22,14 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 
 namespace {
 
@@ -36,6 +45,64 @@ struct Interner {
     names.push_back(key);
     map.emplace(std::move(key), no);
     return no;
+  }
+};
+
+// Open-addressing interner keyed on the raw token bytes — no string
+// construction per lookup (the std::unordered_map<std::string, ...>
+// lookup allocated on every row, ~3 allocations/row across
+// repertoire/V/J in the old design).
+struct TokMap {
+  std::vector<int32_t> slot_id;    // -1 = empty
+  std::vector<uint64_t> slot_hash;
+  std::vector<std::string> names;
+  uint64_t mask = 63;
+
+  TokMap() {
+    slot_id.assign(64, -1);
+    slot_hash.assign(64, 0);
+  }
+
+  static uint64_t hash(const char* s, size_t len) {
+    uint64_t h = 1469598103934665603ULL;
+    for (size_t i = 0; i < len; i++)
+      h = (h ^ (uint64_t)(uint8_t)s[i]) * 1099511628211ULL;
+    return h;
+  }
+
+  void grow() {
+    uint64_t nmask = mask * 2 + 1;
+    std::vector<int32_t> nid(nmask + 1, -1);
+    std::vector<uint64_t> nh(nmask + 1, 0);
+    for (size_t j = 0; j <= mask; j++) {
+      int32_t id = slot_id[j];
+      if (id < 0) continue;
+      uint64_t k = slot_hash[j] & nmask;
+      while (nid[k] >= 0) k = (k + 1) & nmask;
+      nid[k] = id;
+      nh[k] = slot_hash[j];
+    }
+    slot_id.swap(nid);
+    slot_hash.swap(nh);
+    mask = nmask;
+  }
+
+  int32_t intern(const char* s, size_t len) {
+    uint64_t h = hash(s, len);
+    for (uint64_t j = h & mask;; j = (j + 1) & mask) {
+      int32_t id = slot_id[j];
+      if (id < 0) {
+        int32_t no = (int32_t)names.size();
+        names.emplace_back(s, len);
+        slot_id[j] = no;
+        slot_hash[j] = h;
+        if (names.size() * 2 > mask) grow();
+        return no;
+      }
+      if (slot_hash[j] == h && names[(size_t)id].size() == len &&
+          memcmp(names[(size_t)id].data(), s, len) == 0)
+        return id;
+    }
   }
 };
 
@@ -125,6 +192,7 @@ struct Columns {
   int repertoire_id = 0, sequence_id = 0, duplicate_count = 0;
   int v_call = 0, j_call = 0;
   int junction = 0, junction_aa = 0, cdr3 = 0, cdr3_aa = 0;
+  int seq_col = 0;  // resolved active sequence column
   std::vector<int> keep;
 };
 
@@ -134,7 +202,7 @@ struct Tok {
   size_t len;
 };
 
-size_t split(char* line, size_t len, std::vector<Tok>& out) {
+size_t split(const char* line, size_t len, std::vector<Tok>& out) {
   out.clear();
   const char* start = line;
   const char* end = line + len;
@@ -178,94 +246,47 @@ bool parse_count(const Tok& t, int64_t* out) {
   return true;
 }
 
-}  // namespace
+// per-shard parse output (local interners, local line numbers)
+struct Shard {
+  int32_t status = ERR_NONE;
+  int64_t err_lineno = 0;  // local to the shard's chunk
+  int32_t err_char = 0;
+  std::string err_detail;
 
-extern "C" {
+  int64_t lines = 0;  // lines consumed in this chunk
+  int64_t n = 0;
+  std::string residues;
+  std::vector<uint64_t> row_hash;
+  std::vector<int32_t> lengths;
+  std::vector<int64_t> counts;
+  std::vector<int32_t> rep_no, v_no, j_no;  // LOCAL intern ids
+  std::vector<uint8_t> has_sequence_id;
+  StringArena sequence_ids;
+  StringArena keeps;
+  TokMap reps, vs, js;
 
-void* airr_session_new() { return new Session(); }
+  int64_t ignored_unknown = 0, ignored_empty = 0;
+  int64_t total_dup = 0;
+  int32_t shortest = INT32_MAX, longest = 0;
+};
 
-void airr_session_free(void* s) { delete static_cast<Session*>(s); }
-
-// parse one file; returns a Result* handle (inspect via getters)
-void* airr_parse(void* session_ptr, const char* filename,
-                 int nucleotides, int cdr3, int ignore_counts,
-                 int ignore_genes, int ignore_unknown, int ignore_empty,
-                 int require_sequence_id, const char* default_repertoire_id,
-                 const char** keep_names, int n_keep) {
-  Session* session = static_cast<Session*>(session_ptr);
-  Options opt{(bool)nucleotides, (bool)cdr3,         (bool)ignore_counts,
-              (bool)ignore_genes, (bool)ignore_unknown, (bool)ignore_empty,
-              (bool)require_sequence_id};
-  Result* r = new Result();
-
-  FILE* fp = fopen(filename, "rb");
-  if (!fp) {
-    r->status = ERR_OPEN;
-    return r;
-  }
-
-  signed char map[256];
-  build_map(map, opt.nucleotides);
-
-  Columns cols;
-  cols.keep.assign((size_t)n_keep, 0);
-  bool have_header = false;
-
-  char* line = nullptr;
-  size_t cap = 0;
-  int64_t lineno = 0;
-  ssize_t linelen;
+// parse the body lines in [p, end) into the shard; stops at the first
+// error (recording the local line number)
+void parse_chunk(const char* p, const char* end, const Columns& cols,
+                 const Options& opt, const signed char* map,
+                 const char* default_rep, size_t default_rep_len,
+                 int n_keep, Shard* sh) {
   std::vector<Tok> toks;
-  std::vector<const Tok*> keep_vals((size_t)n_keep);
-  bool any_line = false;
-
-  while ((linelen = getline(&line, &cap, fp)) >= 0) {
-    any_line = true;
-    lineno++;
-    size_t len = (size_t)linelen;
-    if (len > 0 && line[len - 1] == '\n') len--;
-    if (len > 0 && line[len - 1] == '\r') len--;
-
-    if (!have_header) {
-      if (len > 0 && (line[0] == '#' || line[0] == '@')) continue;
-      // header (db.cc:172-296)
-      split(line, len, toks);
-      for (size_t i = 0; i < toks.size(); i++) {
-        int no = (int)i + 1;
-        const Tok& t = toks[i];
-        if (tok_eq(t, "repertoire_id")) cols.repertoire_id = no;
-        else if (tok_eq(t, "sequence_id")) cols.sequence_id = no;
-        else if (tok_eq(t, "duplicate_count")) cols.duplicate_count = no;
-        else if (tok_eq(t, "v_call")) cols.v_call = no;
-        else if (tok_eq(t, "j_call")) cols.j_call = no;
-        else if (tok_eq(t, "junction")) cols.junction = no;
-        else if (tok_eq(t, "junction_aa")) cols.junction_aa = no;
-        else if (tok_eq(t, "cdr3")) cols.cdr3 = no;
-        else if (tok_eq(t, "cdr3_aa")) cols.cdr3_aa = no;
-        for (int k = 0; k < n_keep; k++)
-          if (tok_eq(t, keep_names[k])) cols.keep[(size_t)k] = no;
-      }
-      uint8_t missing = 0;
-      if (opt.require_sequence_id && !cols.sequence_id) missing |= 1;
-      if (!opt.ignore_counts && !cols.duplicate_count) missing |= 2;
-      if (!opt.ignore_genes && !cols.v_call) missing |= 4;
-      if (!opt.ignore_genes && !cols.j_call) missing |= 8;
-      int seq_col = opt.cdr3 ? (opt.nucleotides ? cols.cdr3 : cols.cdr3_aa)
-                             : (opt.nucleotides ? cols.junction
-                                                : cols.junction_aa);
-      if (!seq_col) missing |= 16;
-      if (missing) {
-        r->status = ERR_MISSING_COLUMNS;
-        r->missing_cols = missing;
-        break;
-      }
-      r->keep_missing_mask.assign((size_t)n_keep, 0);
-      for (int k = 0; k < n_keep; k++)
-        if (cols.keep[(size_t)k] < 1)
-          r->keep_missing_mask[(size_t)k] = 1;
-      have_header = true;
-      continue;
-    }
+  toks.reserve(16);
+  std::string joined;
+  while (p < end) {
+    const char* nl = (const char*)memchr(p, '\n', (size_t)(end - p));
+    const char* le = nl ? nl : end;
+    size_t len = (size_t)(le - p);
+    if (len > 0 && le[-1] == '\r') len--;
+    const char* line = p;
+    p = nl ? nl + 1 : end;
+    sh->lines++;
 
     split(line, len, toks);
     size_t ntok = toks.size();
@@ -274,14 +295,11 @@ void* airr_parse(void* session_ptr, const char* filename,
                                                : nullptr;
     };
 
-    int seq_col = opt.cdr3 ? (opt.nucleotides ? cols.cdr3 : cols.cdr3_aa)
-                           : (opt.nucleotides ? cols.junction
-                                              : cols.junction_aa);
-    const Tok* raw_seq = get(seq_col);
+    const Tok* raw_seq = get(cols.seq_col);
 
     // scan & encode (db.cc:408-469); the FNV-1a running hash feeds
     // the native exact-grouping passes so they never re-read rows
-    size_t start = r->residues.size();
+    size_t start = sh->residues.size();
     int32_t seqlen = 0;
     uint64_t rowh = 1469598103934665603ULL;
     bool ignore_seq = false;
@@ -291,71 +309,70 @@ void* airr_parse(void* session_ptr, const char* filename,
         unsigned char c = (unsigned char)raw_seq->p[i];
         signed char m = map[c];
         if (m >= 0) {
-          r->residues.push_back((char)m);
+          sh->residues.push_back((char)m);
           rowh = (rowh ^ (uint64_t)(uint8_t)m) * 1099511628211ULL;
           seqlen++;
         } else if (c >= 32 && c <= 126) {
           if (opt.ignore_unknown) {
             ignore_seq = true;
-            r->ignored_unknown++;
+            sh->ignored_unknown++;
           } else {
-            r->status = ERR_ILLEGAL_CHAR;
-            r->err_lineno = lineno;
-            r->err_char = (int32_t)c;
+            sh->status = ERR_ILLEGAL_CHAR;
+            sh->err_lineno = sh->lines;
+            sh->err_char = (int32_t)c;
             fail = true;
             break;
           }
         } else {
-          r->status = ERR_ILLEGAL_CHAR_NONPRINT;
-          r->err_lineno = lineno;
-          r->err_char = (int32_t)c;
+          sh->status = ERR_ILLEGAL_CHAR_NONPRINT;
+          sh->err_lineno = sh->lines;
+          sh->err_char = (int32_t)c;
           fail = true;
           break;
         }
       }
     }
-    if (fail) break;
+    if (fail) return;
 
     if (seqlen == 0) {
       if (opt.ignore_empty) {
         ignore_seq = true;
-        r->ignored_empty++;
+        sh->ignored_empty++;
       } else {
-        r->status = ERR_EMPTY_SEQ;
-        r->err_lineno = lineno;
-        break;
+        sh->status = ERR_EMPTY_SEQ;
+        sh->err_lineno = sh->lines;
+        return;
       }
     }
 
     if (ignore_seq) {
-      r->residues.resize(start);
+      sh->residues.resize(start);
       continue;
     }
 
-    if (seqlen > r->longest) r->longest = seqlen;
-    if (seqlen < r->shortest) r->shortest = seqlen;
+    if (seqlen > sh->longest) sh->longest = seqlen;
+    if (seqlen < sh->shortest) sh->shortest = seqlen;
 
     // repertoire_id (db.cc:503-520)
     const Tok* rep = get(cols.repertoire_id);
     int32_t rep_id;
     if (rep)
-      rep_id = r->repertoires.intern(rep->p, rep->len);
+      rep_id = sh->reps.intern(rep->p, rep->len);
     else
-      rep_id = r->repertoires.intern(default_repertoire_id,
-                                     strlen(default_repertoire_id));
+      rep_id = sh->reps.intern(default_rep, default_rep_len);
 
     // sequence_id (db.cc:523-540)
     const Tok* sid = get(cols.sequence_id);
     if (sid && sid->len > 0) {
-      r->sequence_ids.push(sid->p, sid->len);
-      r->has_sequence_id.push_back(1);
+      sh->sequence_ids.push(sid->p, sid->len);
+      sh->has_sequence_id.push_back(1);
     } else if (opt.require_sequence_id) {
-      r->status = ERR_MISSING_SEQUENCE_ID;
-      r->err_lineno = lineno;
-      break;
+      sh->status = ERR_MISSING_SEQUENCE_ID;
+      sh->err_lineno = sh->lines;
+      return;
     } else {
-      r->sequence_ids.push_missing();
-      r->has_sequence_id.push_back(0);
+      sh->sequence_ids.push_missing();
+      sh->has_sequence_id.push_back(0);
     }
 
     // duplicate_count (db.cc:543-573)
@@ -363,68 +380,344 @@ void* airr_parse(void* session_ptr, const char* filename,
     int64_t count;
     if (dc && dc->len > 0) {
       if (!parse_count(*dc, &count)) {
-        r->status = ERR_BAD_DUP_COUNT;
-        r->err_lineno = lineno;
-        r->err_detail.assign(dc->p, dc->len);
-        break;
+        sh->status = ERR_BAD_DUP_COUNT;
+        sh->err_lineno = sh->lines;
+        sh->err_detail.assign(dc->p, dc->len);
+        return;
       }
     } else if (opt.ignore_counts) {
       count = 1;
     } else {
-      r->status = ERR_MISSING_DUP_COUNT;
-      r->err_lineno = lineno;
-      break;
+      sh->status = ERR_MISSING_DUP_COUNT;
+      sh->err_lineno = sh->lines;
+      return;
     }
-    r->total_dup += count;
+    sh->total_dup += count;
 
     // v_call / j_call (db.cc:576-631)
     const Tok* v = get(cols.v_call);
     if (!opt.ignore_genes && (!v || v->len == 0)) {
-      r->status = ERR_MISSING_V;
-      r->err_lineno = lineno;
-      break;
+      sh->status = ERR_MISSING_V;
+      sh->err_lineno = sh->lines;
+      return;
     }
     const Tok* j = get(cols.j_call);
     if (!opt.ignore_genes && (!j || j->len == 0)) {
-      r->status = ERR_MISSING_J;
-      r->err_lineno = lineno;
-      break;
+      sh->status = ERR_MISSING_J;
+      sh->err_lineno = sh->lines;
+      return;
     }
-    int32_t vno = v ? session->v_genes.intern(v->p, v->len)
-                    : session->v_genes.intern("", 0);
-    int32_t jno = j ? session->j_genes.intern(j->p, j->len)
-                    : session->j_genes.intern("", 0);
+    int32_t vno = v ? sh->vs.intern(v->p, v->len) : sh->vs.intern("", 0);
+    int32_t jno = j ? sh->js.intern(j->p, j->len) : sh->js.intern("", 0);
 
     // sequence field must have been present & non-empty (db.cc:634-668)
     if (!raw_seq || raw_seq->len == 0) {
-      r->status = ERR_MISSING_SEQ_VALUE;
-      r->err_lineno = lineno;
-      break;
+      sh->status = ERR_MISSING_SEQ_VALUE;
+      sh->err_lineno = sh->lines;
+      return;
     }
 
     // keep columns (db.cc:671-701)
     if (n_keep > 0) {
-      std::string joined;
+      joined.clear();
       for (int k = 0; k < n_keep; k++) {
         if (k) joined.push_back('\t');
         const Tok* kv = get(cols.keep[(size_t)k]);
         if (kv) joined.append(kv->p, kv->len);
       }
-      r->keeps.push(joined.data(), joined.size());
+      sh->keeps.push(joined.data(), joined.size());
     }
 
-    r->row_hash.push_back(rowh);
-    r->lengths.push_back(seqlen);
-    r->counts.push_back(count);
-    r->rep_no.push_back(rep_id);
-    r->v_no.push_back(vno);
-    r->j_no.push_back(jno);
-    r->n++;
+    sh->row_hash.push_back(rowh);
+    sh->lengths.push_back(seqlen);
+    sh->counts.push_back(count);
+    sh->rep_no.push_back(rep_id);
+    sh->v_no.push_back(vno);
+    sh->j_no.push_back(jno);
+    sh->n++;
+  }
+}
+
+template <typename T>
+void concat(std::vector<T>& dst, const std::vector<Shard>& shards,
+            std::vector<T> Shard::*member) {
+  size_t total = 0;
+  for (const Shard& s : shards) total += (s.*member).size();
+  dst.reserve(total);
+  for (const Shard& s : shards)
+    dst.insert(dst.end(), (s.*member).begin(), (s.*member).end());
+}
+
+}  // namespace
+
+extern "C" {
+
+void* airr_session_new() { return new Session(); }
+
+void airr_session_free(void* s) { delete static_cast<Session*>(s); }
+
+// parse one file with up to n_threads shards; returns a Result* handle
+// (inspect via getters). Results are bit-identical for any n_threads.
+//
+// range_k/range_n select the k-th of n deterministic line-aligned byte
+// chunks of the body — the per-host input sharding for multi-host runs
+// (each host derives identical boundaries from the file size alone,
+// the TPU-native automation of the reference README's manual
+// split-and-merge advice, /root/reference/README.md:766-771).
+// range_n <= 1 reads the whole file.
+void* airr_parse(void* session_ptr, const char* filename,
+                 int nucleotides, int cdr3, int ignore_counts,
+                 int ignore_genes, int ignore_unknown, int ignore_empty,
+                 int require_sequence_id, const char* default_repertoire_id,
+                 const char** keep_names, int n_keep, int n_threads,
+                 int range_k, int range_n) {
+  Session* session = static_cast<Session*>(session_ptr);
+  Options opt{(bool)nucleotides, (bool)cdr3,         (bool)ignore_counts,
+              (bool)ignore_genes, (bool)ignore_unknown, (bool)ignore_empty,
+              (bool)require_sequence_id};
+  Result* r = new Result();
+
+  int fd = open(filename, O_RDONLY);
+  if (fd < 0) {
+    r->status = ERR_OPEN;
+    return r;
+  }
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size <= 0) {
+    close(fd);
+    r->status = ERR_READ;  // empty/unreadable: "no lines"
+    return r;
+  }
+  size_t fsize = (size_t)st.st_size;
+  const char* buf = (const char*)mmap(nullptr, fsize, PROT_READ,
+                                      MAP_PRIVATE, fd, 0);
+  close(fd);
+  if (buf == MAP_FAILED) {
+    r->status = ERR_READ;
+    return r;
+  }
+  madvise((void*)buf, fsize, MADV_SEQUENTIAL);
+
+  signed char map[256];
+  build_map(map, opt.nucleotides);
+
+  // ---- header discovery (comment lines skipped, db.cc:172-296) ----
+  Columns cols;
+  cols.keep.assign((size_t)n_keep, 0);
+  const char* p = buf;
+  const char* end = buf + fsize;
+  int64_t header_lines = 0;  // lines consumed incl. comments + header
+  bool have_header = false;
+  std::vector<Tok> toks;
+  while (p < end && !have_header) {
+    const char* nl = (const char*)memchr(p, '\n', (size_t)(end - p));
+    const char* le = nl ? nl : end;
+    size_t len = (size_t)(le - p);
+    if (len > 0 && le[-1] == '\r') len--;
+    const char* line = p;
+    p = nl ? nl + 1 : end;
+    header_lines++;
+    if (len > 0 && (line[0] == '#' || line[0] == '@')) continue;
+
+    split(line, len, toks);
+    for (size_t i = 0; i < toks.size(); i++) {
+      int no = (int)i + 1;
+      const Tok& t = toks[i];
+      if (tok_eq(t, "repertoire_id")) cols.repertoire_id = no;
+      else if (tok_eq(t, "sequence_id")) cols.sequence_id = no;
+      else if (tok_eq(t, "duplicate_count")) cols.duplicate_count = no;
+      else if (tok_eq(t, "v_call")) cols.v_call = no;
+      else if (tok_eq(t, "j_call")) cols.j_call = no;
+      else if (tok_eq(t, "junction")) cols.junction = no;
+      else if (tok_eq(t, "junction_aa")) cols.junction_aa = no;
+      else if (tok_eq(t, "cdr3")) cols.cdr3 = no;
+      else if (tok_eq(t, "cdr3_aa")) cols.cdr3_aa = no;
+      for (int k = 0; k < n_keep; k++)
+        if (tok_eq(t, keep_names[k])) cols.keep[(size_t)k] = no;
+    }
+    uint8_t missing = 0;
+    if (opt.require_sequence_id && !cols.sequence_id) missing |= 1;
+    if (!opt.ignore_counts && !cols.duplicate_count) missing |= 2;
+    if (!opt.ignore_genes && !cols.v_call) missing |= 4;
+    if (!opt.ignore_genes && !cols.j_call) missing |= 8;
+    cols.seq_col = opt.cdr3 ? (opt.nucleotides ? cols.cdr3 : cols.cdr3_aa)
+                            : (opt.nucleotides ? cols.junction
+                                               : cols.junction_aa);
+    if (!cols.seq_col) missing |= 16;
+    if (missing) {
+      r->status = ERR_MISSING_COLUMNS;
+      r->missing_cols = missing;
+      munmap((void*)buf, fsize);
+      return r;
+    }
+    r->keep_missing_mask.assign((size_t)n_keep, 0);
+    for (int k = 0; k < n_keep; k++)
+      if (cols.keep[(size_t)k] < 1) r->keep_missing_mask[(size_t)k] = 1;
+    have_header = true;
+  }
+  if (!have_header) {
+    // comment-only file: empty result, NOT an error (matches the
+    // sequential reader: it never saw a header or a data line)
+    munmap((void*)buf, fsize);
+    return r;
   }
 
-  free(line);
-  fclose(fp);
-  if (!any_line && r->status == ERR_NONE) r->status = ERR_READ;
+  // ---- optional multi-host range: k-th of n line-aligned chunks ----
+  if (range_n > 1) {
+    if (range_k < 0 || range_k >= range_n) {
+      r->status = ERR_READ;
+      munmap((void*)buf, fsize);
+      return r;
+    }
+    size_t whole = (size_t)(end - p);
+    std::vector<const char*> rb;
+    rb.push_back(p);
+    for (int t = 1; t < range_n; t++) {
+      const char* q = p + whole * (size_t)t / (size_t)range_n;
+      if (q < rb.back()) q = rb.back();
+      const char* nl = (const char*)memchr(q, '\n', (size_t)(end - q));
+      rb.push_back(nl ? nl + 1 : end);
+    }
+    rb.push_back(end);
+    const char* rlo = rb[(size_t)range_k];
+    const char* rhi = rb[(size_t)range_k + 1];
+    // global line numbers for errors: count the skipped prefix lines
+    for (const char* q = p; q < rlo;) {
+      const char* nl = (const char*)memchr(q, '\n', (size_t)(rlo - q));
+      if (!nl) break;
+      header_lines++;
+      q = nl + 1;
+    }
+    p = rlo;
+    end = rhi;
+  }
+
+  // ---- shard the body at line boundaries ----
+  size_t body = (size_t)(end - p);
+  int T = n_threads < 1 ? 1 : (n_threads > 256 ? 256 : n_threads);
+  if (body < (size_t)1 << 20) T = 1;  // small file: no thread payoff
+  std::vector<const char*> bounds;
+  bounds.push_back(p);
+  for (int t = 1; t < T; t++) {
+    const char* q = p + body * (size_t)t / (size_t)T;
+    const char* prev = bounds.back();
+    if (q < prev) q = prev;
+    const char* nl = (const char*)memchr(q, '\n', (size_t)(end - q));
+    bounds.push_back(nl ? nl + 1 : end);
+  }
+  bounds.push_back(end);
+  T = (int)bounds.size() - 1;
+
+  std::vector<Shard> shards((size_t)T);
+  const char* drep = default_repertoire_id;
+  size_t drep_len = strlen(drep);
+  {
+    std::vector<std::thread> threads;
+    for (int t = 1; t < T; t++)
+      threads.emplace_back(parse_chunk, bounds[(size_t)t],
+                           bounds[(size_t)t + 1], std::cref(cols),
+                           std::cref(opt), map, drep, drep_len, n_keep,
+                           &shards[(size_t)t]);
+    parse_chunk(bounds[0], bounds[1], cols, opt, map, drep, drep_len,
+                n_keep, &shards[0]);
+    for (auto& th : threads) th.join();
+  }
+
+  // ---- first (in file order) error wins; earlier shards that
+  // errored mask later ones (sequential semantics) ----
+  for (int t = 0; t < T; t++) {
+    Shard& s = shards[(size_t)t];
+    if (s.status != ERR_NONE) {
+      int64_t lineno = header_lines;
+      for (int u = 0; u < t; u++) lineno += shards[(size_t)u].lines;
+      r->status = s.status;
+      r->err_lineno = lineno + s.err_lineno;
+      r->err_char = s.err_char;
+      r->err_detail = s.err_detail;
+      munmap((void*)buf, fsize);
+      return r;
+    }
+  }
+
+  // ---- order-preserving merge with intern renumbering ----
+  int64_t total_n = 0;
+  size_t total_res = 0;
+  for (const Shard& s : shards) {
+    total_n += s.n;
+    total_res += s.residues.size();
+    r->ignored_unknown += s.ignored_unknown;
+    r->ignored_empty += s.ignored_empty;
+    r->total_dup += s.total_dup;
+    if (s.n) {
+      if (s.longest > r->longest) r->longest = s.longest;
+      if (s.shortest < r->shortest) r->shortest = s.shortest;
+    }
+  }
+  r->n = total_n;
+  r->residues.reserve(total_res);
+  for (const Shard& s : shards) r->residues.append(s.residues);
+  concat(r->row_hash, shards, &Shard::row_hash);
+  concat(r->lengths, shards, &Shard::lengths);
+  concat(r->counts, shards, &Shard::counts);
+  concat(r->has_sequence_id, shards, &Shard::has_sequence_id);
+
+  // string arenas: blob concat + offset rebase
+  for (StringArena Shard::*m : {&Shard::sequence_ids, &Shard::keeps}) {
+    StringArena& dst =
+        (m == &Shard::sequence_ids) ? r->sequence_ids : r->keeps;
+    size_t blob_total = 0, noff = 0;
+    for (const Shard& s : shards) {
+      blob_total += (s.*m).blob.size();
+      noff += (s.*m).offsets.size() - 1;
+    }
+    dst.blob.reserve(blob_total);
+    dst.offsets.reserve(noff + 1);
+    for (const Shard& s : shards) {
+      int64_t base = (int64_t)dst.blob.size();
+      dst.blob.append((s.*m).blob);
+      const auto& offs = (s.*m).offsets;
+      for (size_t i = 1; i < offs.size(); i++)
+        dst.offsets.push_back(base + offs[i]);
+    }
+  }
+
+  // intern renumbering: walk rows in file order, assigning global ids
+  // on first occurrence — identical numbering to a sequential parse
+  r->rep_no.resize((size_t)total_n);
+  r->v_no.resize((size_t)total_n);
+  r->j_no.resize((size_t)total_n);
+  int64_t base = 0;
+  for (Shard& s : shards) {
+    std::vector<int32_t> rmap(s.reps.names.size(), -1);
+    std::vector<int32_t> vmap(s.vs.names.size(), -1);
+    std::vector<int32_t> jmap(s.js.names.size(), -1);
+    for (int64_t i = 0; i < s.n; i++) {
+      int32_t lr = s.rep_no[(size_t)i];
+      if (rmap[(size_t)lr] < 0) {
+        const std::string& nm = s.reps.names[(size_t)lr];
+        rmap[(size_t)lr] = r->repertoires.intern(nm.data(), nm.size());
+      }
+      r->rep_no[(size_t)(base + i)] = rmap[(size_t)lr];
+      int32_t lv = s.v_no[(size_t)i];
+      if (vmap[(size_t)lv] < 0) {
+        const std::string& nm = s.vs.names[(size_t)lv];
+        vmap[(size_t)lv] = session->v_genes.intern(nm.data(), nm.size());
+      }
+      r->v_no[(size_t)(base + i)] = vmap[(size_t)lv];
+      int32_t lj = s.j_no[(size_t)i];
+      if (jmap[(size_t)lj] < 0) {
+        const std::string& nm = s.js.names[(size_t)lj];
+        jmap[(size_t)lj] = session->j_genes.intern(nm.data(), nm.size());
+      }
+      r->j_no[(size_t)(base + i)] = jmap[(size_t)lj];
+    }
+    base += s.n;
+    // free shard arenas as we go (halves peak during merge)
+    s.residues.clear();
+    s.residues.shrink_to_fit();
+  }
+
+  munmap((void*)buf, fsize);
   return r;
 }
 
@@ -520,5 +813,14 @@ const char* airr_j_name(void* sp, int32_t i) {
 }
 
 void airr_result_free(void* rp) { delete static_cast<Result*>(rp); }
+
+// shed the parser's residue arena once the packed [n, lmax] matrix has
+// adopted the data — the arena would otherwise double-store every
+// residue for the lifetime of the result (peak-RSS item)
+void airr_drop_residues(void* rp) {
+  Result* r = static_cast<Result*>(rp);
+  r->residues.clear();
+  r->residues.shrink_to_fit();
+}
 
 }  // extern "C"

@@ -13,9 +13,12 @@
 // probing, like the reference's hashtable.cc, but keyed on the actual
 // bytes (no Zobrist needed: we never enumerate variants).
 
+#include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 #include <sys/mman.h>
 
@@ -47,6 +50,82 @@ inline uint64_t hash_row(const int8_t* seq, int64_t row_bytes,
     h = mix64(h ^ (uint64_t)(uint32_t)meta[c]);
   }
   return h;
+}
+
+// Multithreaded exact grouping: threads claim row ranges and insert
+// into a shared lock-free open-addressing table with CAS (one 8-byte
+// slot per bucket, same tag layout as the sequential path). Each row
+// records a leader (the group member that won the slot); a cheap
+// sequential pass renumbers groups by global first occurrence, so the
+// result is bit-identical to the sequential grouping for any thread
+// count — the TPU build's equivalent of the reference's -t option
+// applied to its hashing phases.
+template <class HashFn, class EqFn>
+int64_t group_mt(int64_t n, int n_threads, HashFn&& hf, EqFn&& eq,
+                 int64_t* group_out) {
+  if (n == 0) return 0;
+  if (n >= (int64_t)1 << 31) return -1;
+
+  uint64_t size = 1;
+  while ((int64_t)size < n || (double)n > 0.7 * (double)size) size <<= 1;
+  const uint64_t mask = size - 1;
+  size_t bytes = (size_t)size * sizeof(uint64_t);
+  void* mem = mmap(nullptr, bytes, PROT_READ | PROT_WRITE,
+                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+  if (mem == MAP_FAILED) return -1;
+  madvise(mem, bytes, MADV_HUGEPAGE);
+  auto* slots = static_cast<std::atomic<uint64_t>*>(mem);
+
+  std::vector<int32_t> leader((size_t)n);
+  auto worker = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      uint64_t h = hf(i);
+      const uint64_t tag = h & 0xffffffff00000000ULL;
+      const uint64_t entry = tag | (uint64_t)(uint32_t)(i + 1);
+      uint64_t j = h & mask;
+      for (;;) {
+        uint64_t s = slots[j].load(std::memory_order_acquire);
+        if (s == 0) {
+          uint64_t expected = 0;
+          if (slots[j].compare_exchange_strong(
+                  expected, entry, std::memory_order_acq_rel)) {
+            leader[(size_t)i] = (int32_t)i;
+            break;
+          }
+          s = expected;  // lost the race; inspect the winner
+        }
+        if ((s & 0xffffffff00000000ULL) == tag) {
+          int64_t other = (int64_t)(uint32_t)s - 1;
+          if (eq(i, other)) {
+            leader[(size_t)i] = (int32_t)other;
+            break;
+          }
+        }
+        j = (j + 1) & mask;
+      }
+    }
+  };
+
+  int T = n_threads < 1 ? 1 : n_threads;
+  if ((int64_t)T > n) T = (int)n;
+  {
+    std::vector<std::thread> threads;
+    for (int t = 1; t < T; t++)
+      threads.emplace_back(worker, n * t / T, n * (t + 1) / T);
+    worker(0, n / T);
+    for (auto& th : threads) th.join();
+  }
+  munmap(mem, bytes);
+
+  // renumber by global first occurrence (leaders are self-leaders)
+  std::vector<int32_t> gid((size_t)n, -1);
+  int64_t n_groups = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t l = leader[(size_t)i];
+    if (gid[(size_t)l] < 0) gid[(size_t)l] = (int32_t)n_groups++;
+    group_out[i] = gid[(size_t)l];
+  }
+  return n_groups;
 }
 
 }  // namespace
@@ -187,6 +266,33 @@ int64_t group_rows_pre(const int8_t* seqs, int64_t n, int64_t row_bytes,
   return n_groups;
 }
 
+// Thread-capable twin of group_rows_pre: identical results for any
+// n_threads (CAS inserts + first-occurrence renumbering, group_mt).
+int64_t group_rows_pre_mt(const int8_t* seqs, int64_t n,
+                          int64_t row_bytes, const int32_t* meta,
+                          int32_t m, const uint64_t* prehash,
+                          int32_t n_threads, int64_t* group_out) {
+  if (n_threads <= 1)
+    return group_rows_pre(seqs, n, row_bytes, meta, m, prehash, group_out);
+  auto hf = [&](int64_t i) -> uint64_t {
+    const int32_t* me = meta + i * m;
+    if (prehash) {
+      uint64_t h = mix64(prehash[i]);
+      for (int32_t c = 0; c < m; ++c)
+        h = mix64(h ^ (uint64_t)(uint32_t)me[c]);
+      return h;
+    }
+    return hash_row(seqs + i * row_bytes, row_bytes, me, m);
+  };
+  auto eq = [&](int64_t i, int64_t other) -> bool {
+    return memcmp(seqs + other * row_bytes, seqs + i * row_bytes,
+                  (size_t)row_bytes) == 0 &&
+           (m == 0 || memcmp(meta + other * m, meta + i * m,
+                             (size_t)m * sizeof(int32_t)) == 0);
+  };
+  return group_mt(n, n_threads, hf, eq, group_out);
+}
+
 // Pigeonhole piece grouping fused with extraction: groups rows by
 // (piece residues, meta) where the piece is the length-proportional
 // range [len*p/pieces, len*(p+1)/pieces). meta must include the
@@ -252,6 +358,45 @@ int64_t group_pieces(const int8_t* seqs, int64_t n, int64_t row_bytes,
 
   munmap(slots, bytes);
   return n_groups;
+}
+
+// Thread-capable twin of group_pieces (same bit-identical guarantee).
+int64_t group_pieces_mt(const int8_t* seqs, int64_t n, int64_t row_bytes,
+                        const int32_t* lengths, const int32_t* meta,
+                        int32_t m, int32_t piece, int32_t pieces,
+                        int32_t n_threads, int64_t* group_out) {
+  if (n_threads <= 1)
+    return group_pieces(seqs, n, row_bytes, lengths, meta, m, piece,
+                        pieces, group_out);
+  if (m < 1) return -1;  // meta must carry the length column
+  auto hf = [&](int64_t i) -> uint64_t {
+    int64_t len = lengths[i];
+    int64_t s = (len * piece) / pieces;
+    int64_t e = (len * (piece + 1)) / pieces;
+    const int8_t* pc = seqs + i * row_bytes + s;
+    const int32_t* me = meta + i * m;
+    uint64_t h = 1469598103934665603ULL;
+    for (int64_t k = 0; k < e - s; ++k)
+      h = (h ^ (uint64_t)(uint8_t)pc[k]) * 1099511628211ULL;
+    h = mix64(h);
+    for (int32_t c = 0; c < m; ++c)
+      h = mix64(h ^ (uint64_t)(uint32_t)me[c]);
+    return h;
+  };
+  auto eq = [&](int64_t i, int64_t other) -> bool {
+    // meta equality implies equal length, hence identical piece
+    // bounds for both rows
+    if (memcmp(meta + other * m, meta + i * m,
+               (size_t)m * sizeof(int32_t)) != 0)
+      return false;
+    int64_t len = lengths[i];
+    int64_t s = (len * piece) / pieces;
+    int64_t e = (len * (piece + 1)) / pieces;
+    int64_t os = ((int64_t)lengths[other] * piece) / pieces;
+    return memcmp(seqs + other * row_bytes + os,
+                  seqs + i * row_bytes + s, (size_t)(e - s)) == 0;
+  };
+  return group_mt(n, n_threads, hf, eq, group_out);
 }
 
 }  // extern "C"

@@ -227,3 +227,83 @@ def test_group_pieces_native_vs_numpy():
             ref = group_rows(rows, meta, 20)
             np.testing.assert_array_equal(nat[0], ref[0])
             assert nat[1] == ref[1]
+
+
+def test_threaded_parse_parity(tmp_path):
+    """-t N parsing must be bit-identical to -t 1 (shard merge +
+    intern renumbering, native/airr_parser.cpp)."""
+    path = make_tsv(str(tmp_path / "big.tsv"), 30000, 8, seed=9)
+    assert os.path.getsize(path) > (1 << 20)  # crosses the MT threshold
+    dbs = []
+    for t in (1, 4, 13):
+        dbs.append(
+            read_db(
+                path, Options(threads=t), GeneTables(), NullLogger(),
+                False, "1",
+            )
+        )
+    assert_same(dbs[0], dbs[1])
+    assert_same(dbs[0], dbs[2])
+    if dbs[0].row_hash is not None:
+        np.testing.assert_array_equal(dbs[0].row_hash, dbs[1].row_hash)
+        np.testing.assert_array_equal(dbs[0].row_hash, dbs[2].row_hash)
+
+
+def test_threaded_error_lineno(tmp_path):
+    """An error deep in the file must report the same global line
+    number from every thread count (shards record local lines; the
+    merge rebases them)."""
+    p = tmp_path / "err.tsv"
+    n = 35000
+    bad_at = 30000  # 0-based data row; line number = 2 + bad_at
+    with open(p, "w") as f:
+        f.write(
+            "repertoire_id\tsequence_id\tduplicate_count\tv_call\t"
+            "j_call\tjunction_aa\n"
+        )
+        for i in range(n):
+            cnt = "0" if i == bad_at else "1"
+            f.write(f"R1\tS{i}\t{cnt}\tTRBV1\tTRBJ1\tCASSLGQAYEQYF\n")
+    assert os.path.getsize(p) > (1 << 20)
+    msgs = []
+    for t in (1, 4):
+        log = io.StringIO()
+        logger = Logger(log, to_file=True)
+        with pytest.raises(SystemExit):
+            read_db(
+                str(p), Options(threads=t), GeneTables(), logger,
+                False, "1",
+            )
+        msgs.append(log.getvalue())
+    assert msgs[0] == msgs[1]
+    assert f"on line {bad_at + 2}" in msgs[0]
+
+
+def test_mt_grouping_parity():
+    """Native CAS grouping (-t > 1) must match the sequential table
+    bit-for-bit (first-occurrence numbering)."""
+    from compairr_tpu.config import set_runtime_threads
+    from compairr_tpu.io.native import group_pieces_native, group_rows_native
+
+    rng = np.random.default_rng(3)
+    n = 40000
+    seqs = rng.integers(0, 4, size=(n, 12), dtype=np.int8)
+    lengths = rng.integers(6, 13, size=n).astype(np.int32)
+    meta = np.ascontiguousarray(
+        np.stack([lengths, rng.integers(0, 3, n).astype(np.int32)], axis=1)
+    )
+    try:
+        set_runtime_threads(1)
+        seq_rows = group_rows_native(seqs, meta)
+        seq_pieces = group_pieces_native(seqs, lengths, meta, 0, 2)
+        set_runtime_threads(5)
+        mt_rows = group_rows_native(seqs, meta)
+        mt_pieces = group_pieces_native(seqs, lengths, meta, 0, 2)
+    finally:
+        set_runtime_threads(1)
+    assert seq_rows is not None and mt_rows is not None
+    np.testing.assert_array_equal(seq_rows[0], mt_rows[0])
+    assert seq_rows[1] == mt_rows[1]
+    assert seq_pieces is not None and mt_pieces is not None
+    np.testing.assert_array_equal(seq_pieces[0], mt_pieces[0])
+    assert seq_pieces[1] == mt_pieces[1]
