@@ -148,8 +148,22 @@ def overlap(
     genes = GeneTables()
 
     # ---- set 1 (overlap.cc:614-703) ----
+    # COMPAIRR_INPUT_SHARD=k/n makes this process read only the k-th
+    # line-aligned chunk of set 1 — the per-host input sharding of a
+    # multi-host run (partial matrices merge by repertoire id; see
+    # scripts/multihost_demo.py and parallel/mesh.initialize_distributed)
+    import os as _os
+
+    shard = None
+    shard_env = _os.environ.get("COMPAIRR_INPUT_SHARD")
+    if shard_env:
+        k, n = shard_env.split("/")
+        shard = (int(k), int(n))
+
     logger.write("Immune receptor repertoire set 1\n\n")
-    d1 = read_db(opt.input1, opt, genes, logger, opt.existence, "1")
+    d1 = read_db(
+        opt.input1, opt, genes, logger, opt.existence, "1", shard=shard
+    )
     logger.write("\n")
 
     stats1 = repertoire_stats(d1)
@@ -211,19 +225,38 @@ def overlap(
         from ..ops.engine import exact_match_groups
 
         exact_groups = exact_match_groups(d1, d2, spec)
+    # asymmetric d=1 runs (existence queries): the variant-join union
+    # grouping computed here serves double duty — the big set's group
+    # ids refine into its duplicate count below, and find_pairs reuses
+    # the whole structure, eliminating one full grouping pass over the
+    # big set (the reference detects duplicates inside the same
+    # hash_insert that builds its match table, overlap.cc:579-605)
+    vj_prep = None
+    if not same_set and opt.differences > 0:
+        from ..ops.engine import variant_join_route
+
+        if variant_join_route(d1, d2, spec):
+            from ..ops.sparse_host import prepare_variant_join
+
+            vj_prep = prepare_variant_join(d1, d2, spec)
     if opt.differences <= MAXDIFF_HASH:
         logger.progress_init("Computing hashes: ", d1.n)
         logger.progress_update(d1.n)
         logger.progress_done()
+        from ..core.exact import count_refined_groups
+
         if not same_set:
             logger.progress_init("Check duplicates: ", d1.n)
-            dup1 = count_duplicates(
-                d1,
-                include_genes=not opt.ignore_genes,
-                match_groups=(
-                    exact_groups[0] if exact_groups is not None else None
-                ),
-            )
+            if vj_prep is not None and not vj_prep.small_is_1:
+                dup1 = d1.n - count_refined_groups(vj_prep.gb, d1.rep_no)
+            else:
+                dup1 = count_duplicates(
+                    d1,
+                    include_genes=not opt.ignore_genes,
+                    match_groups=(
+                        exact_groups[0] if exact_groups is not None else None
+                    ),
+                )
             logger.progress_update(d1.n)
             logger.progress_done()
             if dup1 > 0:
@@ -235,13 +268,16 @@ def overlap(
             logger.progress_update(d2.n)
             logger.progress_done()
         logger.progress_init("Hashing sequences:", d2.n)
-        dup2 = count_duplicates(
-            d2,
-            include_genes=not opt.ignore_genes,
-            match_groups=(
-                exact_groups[1] if exact_groups is not None else None
-            ),
-        )
+        if vj_prep is not None and vj_prep.small_is_1:
+            dup2 = d2.n - count_refined_groups(vj_prep.gb, d2.rep_no)
+        else:
+            dup2 = count_duplicates(
+                d2,
+                include_genes=not opt.ignore_genes,
+                match_groups=(
+                    exact_groups[1] if exact_groups is not None else None
+                ),
+            )
         logger.progress_update(d2.n)
         logger.progress_done()
         if dup2 > 0:
@@ -255,7 +291,7 @@ def overlap(
 
     idx1, idx2, dist = find_pairs(
         d1, d2, spec, logger, "Analysing:        ",
-        exact_groups=exact_groups,
+        exact_groups=exact_groups, vj_prep=vj_prep,
     )
 
     # reference single-thread emission order (seed-major, variant
@@ -274,10 +310,13 @@ def overlap(
     else:
         c1max = float(d1.counts.max()) if d1.n else 0.0
         c2max = float(d2.counts.max()) if d2.n else 0.0
-        max_term = c1max * c2max
+        # mean terms are half-integers (spacing 0.5, exact below
+        # 2^52); covered by the 2^52 threshold plus the mean term's
+        # own bound, which can exceed c1max*c2max when a count is 0
+        max_term = max(c1max * c2max, (c1max + c2max) / 2)
     order_free = (
         max_term is not None
-        and max_term * float(max(len(idx1), 1)) < float(2**53)
+        and max_term * float(max(len(idx1), 1)) < float(2**52)
     )
     if pairsfile is not None or not order_free:
         if opt.differences <= MAXDIFF_HASH:
