@@ -234,6 +234,28 @@ def load_library():
             ct.c_int32,
             ct.POINTER(ct.c_int64),
         ]
+    if hasattr(lib, "variant_join"):
+        lib.variant_join.restype = ct.c_int64
+        lib.variant_join.argtypes = [
+            ct.POINTER(ct.c_int8),
+            ct.c_int64,
+            ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int8),
+            ct.c_int64,
+            ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int32),  # big_rep (may be null)
+            ct.POINTER(ct.c_uint64),
+            ct.c_int32,
+            ct.c_int64,
+            ct.c_int32,
+            ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64),
+            ct.c_int64,
+            ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64),
+        ]
     if hasattr(lib, "group_pieces_mt"):
         lib.group_pieces_mt.restype = ct.c_int64
         lib.group_pieces_mt.argtypes = [
@@ -689,6 +711,94 @@ def _grouping_threads() -> int:
     from ..config import runtime_threads
 
     return runtime_threads()
+
+
+VARIANT_JOIN_MAX_PAIRS = 1 << 24
+
+
+def variant_join_native(small_db, big_db, ignore_genes: bool):
+    """Native asymmetric d=1 substitution join (pack_group.cpp
+    variant_join): big-set table build (reusing parse-time row hashes)
+    + on-the-fly variant probes. Both dbs must already share a padded
+    width. Returns (i_small, i_big, big_groups, n_distinct) where
+    n_distinct counts distinct (sequence, genes, repertoire) triples
+    of the big set (its duplicate warning = n - n_distinct) and the
+    pair lists may contain duplicates; or None when unavailable /
+    overflown (callers use the numpy union-grouping fallback)."""
+    if os.environ.get("COMPAIRR_NATIVE_IO") == "0":
+        return None
+    lib = load_library()
+    if lib is None or not hasattr(lib, "variant_join"):
+        return None
+    if small_db.seqs.shape[1] != big_db.seqs.shape[1]:
+        return None
+    row_bytes = small_db.seqs.shape[1]
+    if row_bytes == 0:
+        return None
+
+    def meta_of(db):
+        if ignore_genes:
+            return np.zeros((db.n, 0), dtype=np.int32)
+        return np.ascontiguousarray(
+            np.stack(
+                [db.v_no.astype(np.int32), db.j_no.astype(np.int32)],
+                axis=1,
+            )
+        )
+
+    sm = meta_of(small_db)
+    bm = meta_of(big_db)
+    m = sm.shape[1]
+    small_seqs = np.ascontiguousarray(small_db.seqs, dtype=np.int8)
+    big_seqs = np.ascontiguousarray(big_db.seqs, dtype=np.int8)
+    small_lens = np.ascontiguousarray(small_db.lengths, dtype=np.int32)
+    big_lens = np.ascontiguousarray(big_db.lengths, dtype=np.int32)
+    prehash = big_db.row_hash
+    if prehash is not None:
+        prehash = np.ascontiguousarray(prehash, dtype=np.uint64)
+        hp = prehash.ctypes.data_as(ct.POINTER(ct.c_uint64))
+    else:
+        hp = ct.cast(None, ct.POINTER(ct.c_uint64))
+    alphabet = 4 if small_db.nucleotides else 20
+    big_rep = np.ascontiguousarray(big_db.rep_no, dtype=np.int32)
+    groups = np.empty(big_db.n, dtype=np.int64)
+    cap = VARIANT_JOIN_MAX_PAIRS
+    pairs = np.empty((cap, 2), dtype=np.int64)
+    ngroups = ct.c_int64(0)
+    ngroupreps = ct.c_int64(0)
+    i32p = lambda a: (
+        a.ctypes.data_as(ct.POINTER(ct.c_int32))
+        if a.size
+        else ct.cast(None, ct.POINTER(ct.c_int32))
+    )
+    n = lib.variant_join(
+        small_seqs.ctypes.data_as(ct.POINTER(ct.c_int8)),
+        small_db.n,
+        i32p(small_lens),
+        i32p(sm),
+        big_seqs.ctypes.data_as(ct.POINTER(ct.c_int8)),
+        big_db.n,
+        i32p(big_lens),
+        i32p(bm),
+        i32p(big_rep),
+        hp,
+        m,
+        row_bytes,
+        alphabet,
+        groups.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        pairs.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        cap,
+        ct.byref(ngroups),
+        ct.byref(ngroupreps),
+    )
+    if n < 0:
+        return None
+    return (
+        pairs[:n, 0].copy(),
+        pairs[:n, 1].copy(),
+        groups,
+        int(ngroupreps.value),
+    )
 
 
 def write_cluster_native(outfile, db, order, sizes, seeds, nxt) -> bool:

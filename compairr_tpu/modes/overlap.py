@@ -248,7 +248,12 @@ def overlap(
         if not same_set:
             logger.progress_init("Check duplicates: ", d1.n)
             if vj_prep is not None and not vj_prep.small_is_1:
-                dup1 = d1.n - count_refined_groups(vj_prep.gb, d1.rep_no)
+                if vj_prep.big_distinct is not None:
+                    dup1 = d1.n - vj_prep.big_distinct
+                else:
+                    dup1 = d1.n - count_refined_groups(
+                        vj_prep.gb, d1.rep_no
+                    )
             else:
                 dup1 = count_duplicates(
                     d1,
@@ -269,7 +274,10 @@ def overlap(
             logger.progress_done()
         logger.progress_init("Hashing sequences:", d2.n)
         if vj_prep is not None and vj_prep.small_is_1:
-            dup2 = d2.n - count_refined_groups(vj_prep.gb, d2.rep_no)
+            if vj_prep.big_distinct is not None:
+                dup2 = d2.n - vj_prep.big_distinct
+            else:
+                dup2 = d2.n - count_refined_groups(vj_prep.gb, d2.rep_no)
         else:
             dup2 = count_duplicates(
                 d2,

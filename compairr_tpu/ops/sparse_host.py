@@ -153,35 +153,49 @@ def _piece_rows(db: SeqDB, p: int, pieces: int, w_max: int) -> np.ndarray:
 
 
 class VariantJoinPrep:
-    """Precomputed union grouping for the asymmetric d=1 variant join.
+    """Precomputed state for the asymmetric d=1 variant join.
 
     Built during the duplicate-warning phase (modes/overlap.py) so the
-    expensive grouping over (small-set variants + big-set rows) runs
-    once: `gb` — the big set's (sequence, genes) group ids — yields the
-    big set's duplicate count for free (refined by repertoire), and
-    find_pairs reuses the whole structure for the join itself."""
+    expensive pass over the big set runs once: `gb` — the big set's
+    (sequence, genes) group ids — yields the big set's duplicate count
+    for free (refined by repertoire), and find_pairs reuses the whole
+    structure for the join itself. `pairs` carries the native join's
+    (seed, big row) candidates directly; the numpy fallback instead
+    carries `gv`, the variant rows' ids in the union grouping."""
 
-    __slots__ = ("gv", "gb", "small_is_1", "W", "ns")
+    __slots__ = (
+        "pairs", "gv", "gb", "small_is_1", "W", "ns", "big_distinct"
+    )
 
-    def __init__(self, gv, gb, small_is_1, W, ns):
+    def __init__(self, gb, small_is_1, W, ns, pairs=None, gv=None,
+                 big_distinct=None):
+        self.pairs = pairs
         self.gv = gv
         self.gb = gb
         self.small_is_1 = small_is_1
         self.W = W
         self.ns = ns
+        # distinct (sequence, genes, repertoire) count of the big set
+        # (the native join counts it during its build)
+        self.big_distinct = big_distinct
 
 
 def prepare_variant_join(
     db1: SeqDB, db2: SeqDB, spec: MatchSpec
 ) -> VariantJoinPrep:
-    """Materialise every single-substitution variant of the smaller
-    set (the reference's generate_variants_1,
-    /root/reference/src/variants.cc:280-293, as one tensor instead of
-    per-seed hash probes) and group them together with the larger
-    set's rows on (sequence, genes) through the native table. A
-    variant equals a big-set row iff the pair matches, so no
-    verification pass is needed."""
+    """Resolve every single-substitution variant of the smaller set
+    (the reference's generate_variants_1,
+    /root/reference/src/variants.cc:280-293) against the larger set.
+    A variant equals a big-set row iff the pair matches, so no
+    verification pass is needed.
+
+    Native path (pack_group.cpp variant_join): open-addressing table
+    over the big set — reusing the parser's row hashes — probed by
+    variants materialised one at a time in a scratch buffer. Fallback:
+    one big tensor of variant rows grouped together with the big set's
+    rows through group_rows."""
     from ..core.exact import group_rows
+    from ..io.native import variant_join_native
 
     n1, n2 = db1.n, db2.n
     small_is_1 = n1 <= n2
@@ -193,6 +207,14 @@ def prepare_variant_join(
     db1.repad(lmax)
     db2.repad(lmax)
     W = lmax
+
+    nat = variant_join_native(dbs, dbb, spec.ignore_genes)
+    if nat is not None:
+        i_s, i_b, gb, n_distinct = nat
+        return VariantJoinPrep(
+            gb=gb, small_is_1=small_is_1, W=W, ns=ns, pairs=(i_s, i_b),
+            big_distinct=n_distinct,
+        )
 
     base = np.ascontiguousarray(dbs.seqs[:, :W])
     V = np.broadcast_to(base[:, None, None, :], (ns, W, A, W)).copy()
@@ -222,8 +244,8 @@ def prepare_variant_join(
     g, _ng = group_rows(rows, meta, db1.pad_value)
     del rows, V
     return VariantJoinPrep(
-        gv=g[: ns * W * A], gb=g[ns * W * A :],
-        small_is_1=small_is_1, W=W, ns=ns,
+        gb=g[ns * W * A :], small_is_1=small_is_1, W=W, ns=ns,
+        gv=g[: ns * W * A],
     )
 
 
@@ -250,14 +272,17 @@ def _find_pairs_variant_join(
     small_is_1 = prep.small_is_1
     dbs, dbb = (db1, db2) if small_is_1 else (db2, db1)
     W = prep.W
-    gv, gb = prep.gv, prep.gb
     if started:
         logger.progress_update(1)
 
-    iv, ib = _join_groups(gv, gb)
-    A = 4 if db1.nucleotides else 20
-    seed = iv // (W * A)
-    keys = np.unique(seed * np.int64(dbb.n) + ib)
+    if prep.pairs is not None:
+        i_s, i_b = prep.pairs
+        keys = np.unique(i_s * np.int64(dbb.n) + i_b)
+    else:
+        iv, ib = _join_groups(prep.gv, prep.gb)
+        A = 4 if db1.nucleotides else 20
+        seed = iv // (W * A)
+        keys = np.unique(seed * np.int64(dbb.n) + ib)
     i_s = keys // dbb.n
     i_b = keys - i_s * dbb.n
     i1, i2 = (i_s, i_b) if small_is_1 else (i_b, i_s)

@@ -134,12 +134,12 @@ extern "C" {
 
 void pack_rows(const int8_t* flat, const int32_t* lens, int64_t n,
                int64_t lmax, int8_t pad, int8_t* out) {
-  memset(out, pad, (size_t)(n * lmax));
   const int8_t* src = flat;
   int8_t* dst = out;
   for (int64_t i = 0; i < n; ++i) {
     int32_t len = lens[i];
     memcpy(dst, src, (size_t)len);
+    memset(dst + len, pad, (size_t)(lmax - len));  // tail pad only
     src += len;
     dst += lmax;
   }
@@ -358,6 +358,191 @@ int64_t group_pieces(const int8_t* seqs, int64_t n, int64_t row_bytes,
 
   munmap(slots, bytes);
   return n_groups;
+}
+
+// Asymmetric d=1 substitution join (the native heart of existence
+// queries): build the open-addressing table over the BIG set's rows
+// keyed on (sequence FNV, meta) — reusing the parser's per-row hashes
+// when given — with per-group member chains, then probe every
+// single-substitution variant of every small-set row against it,
+// materialising each variant only in a W-byte scratch buffer. Emits
+// all (seed, big row) candidate pairs (duplicates possible via the
+// identity variant; the caller uniquifies) and writes the big rows'
+// (sequence, meta) group ids — which refine into the duplicate-count
+// warning for free. This replaces the reference's per-seed Zobrist
+// variant hashing (/root/reference/src/variants.cc:280-293,
+// overlap.cc:253-284) with one bulk build + bulk probe.
+// Returns the pair count, -1 on allocation failure, -2 when pairs_cap
+// would overflow (caller falls back), and sets *n_groups_out.
+int64_t variant_join(const int8_t* small_seqs, int64_t ns,
+                     const int32_t* small_lens, const int32_t* small_meta,
+                     const int8_t* big_seqs, int64_t nb,
+                     const int32_t* big_lens, const int32_t* big_meta,
+                     const int32_t* big_rep, const uint64_t* big_prehash,
+                     int32_t m, int64_t row_bytes, int32_t alphabet,
+                     int64_t* big_group_out, int64_t* pairs_out,
+                     int64_t pairs_cap, int64_t* n_groups_out,
+                     int64_t* n_group_reps_out) {
+  *n_groups_out = 0;
+  *n_group_reps_out = 0;
+  if (nb == 0 || ns == 0) return 0;
+  if (nb >= (int64_t)1 << 31) return -1;
+
+  uint64_t size = 1;
+  while ((int64_t)size < nb || (double)nb > 0.7 * (double)size)
+    size <<= 1;
+  const uint64_t mask = size - 1;
+  size_t bytes = (size_t)size * sizeof(uint64_t);
+  // second half: exact (leader row, repertoire) distinct-pair table —
+  // each slot stores the packed pair itself, so membership tests need
+  // no verification reads. Its count is the big set's duplicate
+  // warning (n rows - distinct (sequence,genes,repertoire)).
+  uint64_t* slots = (uint64_t*)mmap(
+      nullptr, bytes * 2, PROT_READ | PROT_WRITE,
+      MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+  if (slots == MAP_FAILED) return -1;
+  madvise(slots, bytes * 2, MADV_HUGEPAGE);
+  uint64_t* rep_slots = slots + size;
+
+  int32_t* head = (int32_t*)malloc((size_t)nb * 2 * sizeof(int32_t));
+  if (!head) {
+    munmap(slots, bytes * 2);
+    return -1;
+  }
+  int32_t* nxt = head + nb;
+  int64_t n_group_reps = 0;
+  auto note_group_rep = [&](int64_t leader, int64_t i) {
+    // packed (leader+1, rep) key; insert-if-absent counts distincts
+    uint64_t key = ((uint64_t)(uint32_t)big_rep[i] << 32) |
+                   (uint64_t)(uint32_t)(leader + 1);
+    uint64_t j = mix64(key) & mask;
+    for (;;) {
+      uint64_t s = rep_slots[j];
+      if (s == 0) {
+        rep_slots[j] = key;
+        n_group_reps++;
+        return;
+      }
+      if (s == key) return;
+      j = (j + 1) & mask;
+    }
+  };
+
+  auto fnv = [](const int8_t* p, int64_t len) -> uint64_t {
+    uint64_t h = 1469598103934665603ULL;
+    for (int64_t k = 0; k < len; ++k)
+      h = (h ^ (uint64_t)(uint8_t)p[k]) * 1099511628211ULL;
+    return h;
+  };
+  auto with_meta = [](uint64_t h, const int32_t* me, int32_t m) {
+    h = mix64(h);
+    for (int32_t c = 0; c < m; ++c)
+      h = mix64(h ^ (uint64_t)(uint32_t)me[c]);
+    return h;
+  };
+
+  // build: insert big rows, chaining duplicates under the
+  // representative so probes can enumerate every member
+  int64_t n_groups = 0;
+  for (int64_t i = 0; i < nb; ++i) {
+    const int8_t* row = big_seqs + i * row_bytes;
+    const int32_t* me = big_meta + i * m;
+    uint64_t h = big_prehash ? big_prehash[i] : fnv(row, big_lens[i]);
+    h = with_meta(h, me, m);
+    const uint64_t tag = h & 0xffffffff00000000ULL;
+    uint64_t j = h & mask;
+    for (;;) {
+      uint64_t s = slots[j];
+      if (s == 0) {
+        slots[j] = tag | (uint64_t)(uint32_t)(i + 1);
+        big_group_out[i] = n_groups++;
+        head[i] = (int32_t)i;
+        nxt[i] = -1;
+        if (big_rep) {
+          // a fresh group always starts a fresh (group, rep) pair
+          uint64_t key = ((uint64_t)(uint32_t)big_rep[i] << 32) |
+                         (uint64_t)(uint32_t)(i + 1);
+          uint64_t jj = mix64(key) & mask;
+          while (rep_slots[jj] != 0) jj = (jj + 1) & mask;
+          rep_slots[jj] = key;
+          n_group_reps++;
+        }
+        break;
+      }
+      if ((s & 0xffffffff00000000ULL) == tag) {
+        int64_t other = (int64_t)(uint32_t)s - 1;
+        if (memcmp(big_seqs + other * row_bytes, row,
+                   (size_t)row_bytes) == 0 &&
+            (m == 0 || memcmp(big_meta + other * m, me,
+                              (size_t)m * sizeof(int32_t)) == 0)) {
+          big_group_out[i] = big_group_out[other];
+          nxt[i] = head[other];
+          head[other] = (int32_t)i;
+          if (big_rep) note_group_rep(other, i);
+          break;
+        }
+      }
+      j = (j + 1) & mask;
+    }
+  }
+  *n_groups_out = n_groups;
+  *n_group_reps_out = n_group_reps;
+
+  // probe: every single-substitution variant of every small row
+  // (identity substitutions included — they find the exact matches)
+  int8_t* scratch = (int8_t*)malloc((size_t)row_bytes);
+  if (!scratch) {
+    free(head);
+    munmap(slots, bytes * 2);
+    return -1;
+  }
+  int64_t n_pairs = 0;
+  for (int64_t s_i = 0; s_i < ns; ++s_i) {
+    const int8_t* srow = small_seqs + s_i * row_bytes;
+    const int32_t* me = small_meta + s_i * m;
+    int64_t len = small_lens[s_i];
+    memcpy(scratch, srow, (size_t)row_bytes);
+    for (int64_t p = 0; p < len; ++p) {
+      int8_t orig = srow[p];
+      for (int32_t a = 0; a < alphabet; ++a) {
+        scratch[p] = (int8_t)a;
+        uint64_t h = with_meta(fnv(scratch, len), me, m);
+        const uint64_t tag = h & 0xffffffff00000000ULL;
+        uint64_t j = h & mask;
+        for (;;) {
+          uint64_t s = slots[j];
+          if (s == 0) break;
+          if ((s & 0xffffffff00000000ULL) == tag) {
+            int64_t other = (int64_t)(uint32_t)s - 1;
+            if (memcmp(big_seqs + other * row_bytes, scratch,
+                       (size_t)row_bytes) == 0 &&
+                (m == 0 || memcmp(big_meta + other * m, me,
+                                  (size_t)m * sizeof(int32_t)) == 0)) {
+              for (int32_t b = head[other]; b >= 0; b = nxt[b]) {
+                if (n_pairs >= pairs_cap) {
+                  free(scratch);
+                  free(head);
+                  munmap(slots, bytes * 2);
+                  return -2;
+                }
+                pairs_out[n_pairs * 2] = s_i;
+                pairs_out[n_pairs * 2 + 1] = b;
+                n_pairs++;
+              }
+              break;
+            }
+          }
+          j = (j + 1) & mask;
+        }
+      }
+      scratch[p] = orig;
+    }
+  }
+
+  free(scratch);
+  free(head);
+  munmap(slots, bytes * 2);
+  return n_pairs;
 }
 
 // Thread-capable twin of group_pieces (same bit-identical guarantee).

@@ -169,3 +169,55 @@ def test_existence(data, tmp_path):
     compare_outputs(tmp_path, [c, b], ["-x", "-d", "1"])
     compare_outputs(tmp_path, [c, b], ["-x", "-d", "1", "-a"])
     compare_outputs(tmp_path, [c, b], ["-x", "-d", "0", "-f"], pairs=True)
+
+
+def normalized_log(text: str) -> str:
+    """Log text with volatile content masked: the two banner lines
+    (intentionally different), wall-clock timestamps, and per-phase
+    timings. Everything else — option echo, stats blocks, repertoire
+    tables, warnings, progress prompts, unique-gene counts — must be
+    byte-identical to the reference."""
+    import re
+
+    lines = text.splitlines(True)[2:]  # banner + URL line
+    out = []
+    for ln in lines:
+        if ln.startswith(("Start time:", "End time:")):
+            out.append(ln.split(":")[0] + ": MASKED\n")
+            continue
+        out.append(re.sub(r"\(\d+(\.\d+)?s\)", "(T)", ln))
+    return "".join(out)
+
+
+@pytest.mark.parametrize(
+    "flags,two_sets",
+    [
+        (["-m", "-d", "1", "-i"], True),
+        (["-m", "-d", "2"], False),
+        (["-x", "-d", "1"], "existence"),
+        (["-c", "-d", "1"], False),
+        (["-z"], False),
+    ],
+)
+def test_log_parity(data, tmp_path, flags, two_sets):
+    """Normalized -l log differential: pins the whole log format
+    (option echo, stats, repertoire tables, progress prompts,
+    warnings) against the reference for one flag combo per command."""
+    d, a, b = data
+    if two_sets == "existence":
+        inputs = [make_tsv(str(d / "cx.tsv"), 50, 1, seed=7), b]
+    elif two_sets:
+        inputs = [a, b]
+    else:
+        inputs = [a]
+    # same log path for both so the echoed "Log file (l):" line — part
+    # of the pinned format — matches too
+    log = tmp_path / "run.log"
+    run_ref([*flags, *inputs, "-o", os.devnull, "-l", str(log)],
+            str(tmp_path))
+    ref_text = log.read_text()
+    run_ours([*flags, *inputs, "-o", os.devnull, "-l", str(log)],
+             str(tmp_path))
+    assert normalized_log(log.read_text()) == normalized_log(
+        ref_text
+    ), f"log mismatch for {flags}"
