@@ -144,6 +144,16 @@ class SeqDB:
     def j_name(self, i: int) -> str:
         return self.genes.j_names[self.j_no[i]]
 
+    def drop_row_hash(self) -> None:
+        """Release the parse-time row hashes (192 MB at Keck scale):
+        callers that know no remaining path reads them (approximate
+        matching never does) discard the numpy view and then free the
+        native arena behind it."""
+        self.row_hash = None
+        keep = self.native_keepalive
+        if keep is not None and hasattr(keep, "drop_row_hash"):
+            keep.drop_row_hash()
+
     def repad(self, lmax: int) -> None:
         """Grow the padded width to lmax (pad value = stored pad)."""
         n, cur = self.seqs.shape

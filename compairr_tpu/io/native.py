@@ -60,6 +60,9 @@ def load_library():
     if hasattr(lib, "airr_drop_residues"):
         lib.airr_drop_residues.argtypes = [ct.c_void_p]
         lib.airr_drop_residues.restype = None
+    if hasattr(lib, "airr_drop_row_hash"):
+        lib.airr_drop_row_hash.argtypes = [ct.c_void_p]
+        lib.airr_drop_row_hash.restype = None
     for name, restype in [
         ("airr_status", ct.c_int32),
         ("airr_err_lineno", ct.c_int64),
@@ -106,6 +109,14 @@ def load_library():
         fn = getattr(lib, name)
         fn.restype = ct.POINTER(ct.c_int64)
         fn.argtypes = [ct.c_void_p]
+    for name in [
+        "airr_sequence_id_offsets32",
+        "airr_keep_offsets32",
+    ]:
+        if hasattr(lib, name):
+            fn = getattr(lib, name)
+            fn.restype = ct.POINTER(ct.c_uint32)
+            fn.argtypes = [ct.c_void_p]
     for name in ["airr_has_sequence_id", "airr_keep_missing"]:
         fn = getattr(lib, name)
         fn.restype = ct.POINTER(ct.c_uint8)
@@ -527,6 +538,12 @@ class NativeResult:
         if hasattr(self.lib, "airr_drop_residues"):
             self.lib.airr_drop_residues(self.handle)
 
+    def drop_row_hash(self) -> None:
+        """Free the row-hash arena (callers must discard every numpy
+        view into it first)."""
+        if hasattr(self.lib, "airr_drop_row_hash"):
+            self.lib.airr_drop_row_hash(self.handle)
+
     @property
     def status(self) -> int:
         return self.lib.airr_status(self.handle)
@@ -569,15 +586,26 @@ class NativeResult:
         )
         has_sid = _np_from(lib.airr_has_sequence_id(h), n, np.uint8,
                            copy=False)
-        sid_off = _np_from(lib.airr_sequence_id_offsets(h), n + 1,
-                           np.int64, copy=False)
+
+        def offsets_of(get64, get32):
+            p64 = get64(h)
+            if p64:
+                return _np_from(p64, n + 1, np.int64, copy=False)
+            return _np_from(get32(h), n + 1, np.uint32, copy=False)
+
+        sid_off = offsets_of(
+            lib.airr_sequence_id_offsets,
+            getattr(lib, "airr_sequence_id_offsets32", None),
+        )
         sid_blob = _np_from(
             lib.airr_sequence_id_blob(h), int(sid_off[-1]) if n else 0,
             np.uint8, copy=False,
         )
         if self.n_keep:
-            keep_off = _np_from(lib.airr_keep_offsets(h), n + 1,
-                                np.int64, copy=False)
+            keep_off = offsets_of(
+                lib.airr_keep_offsets,
+                getattr(lib, "airr_keep_offsets32", None),
+            )
             keep_blob = _np_from(
                 lib.airr_keep_blob(h), int(keep_off[-1]) if n else 0,
                 np.uint8, copy=False,

@@ -58,6 +58,9 @@ def cluster(opt: Options, logger: Logger, outfile: IO[str]) -> None:
         ignore_genes=opt.ignore_genes,
         exclude_self=True,
     )
+    if opt.differences > 0:
+        # approximate matching never reads the parse-time row hashes
+        d.drop_row_hash()
     idx1, idx2, _dist = find_pairs(
         d, d, spec, logger, "Building network: "
     )

@@ -293,6 +293,14 @@ def overlap(
                 f"Warning: {dup2} duplicates detected in repertoire set 2\n"
             )
 
+    # approximate matching never reads the parse-time row hashes
+    # (pigeonhole piece FNVs are computed fresh; the tile engine works
+    # on packed residues) — drop them before the matching phase
+    if opt.differences > 0 and vj_prep is None:
+        d1.drop_row_hash()
+        if d2 is not d1:
+            d2.drop_row_hash()
+
     # ---- analysis ----
     if pairsfile is not None:
         _write_pairs_header(opt, pairsfile)

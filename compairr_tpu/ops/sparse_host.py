@@ -84,7 +84,9 @@ def _find_pairs_exact(
     else:
         ga, gb = exact_match_groups(db1, db2, spec)
 
-    i1, i2 = _join_groups(ga, gb)
+    i1, i2 = _join_groups(
+        ga, gb, drop_singletons=spec.exclude_self and same
+    )
     if spec.exclude_self and same:
         keep = i1 != i2
         i1, i2 = i1[keep], i2[keep]
@@ -96,13 +98,19 @@ def _find_pairs_exact(
 
 
 def _join_groups(
-    ga: np.ndarray, gb: np.ndarray
+    ga: np.ndarray, gb: np.ndarray, drop_singletons: bool = False
 ) -> tuple[np.ndarray, np.ndarray]:
     """All (set-1 row, set-2 row) pairs sharing a group id. Group
     extents come from a bincount (a searchsorted pair costs ~2x at
     Keck scale), and rows whose group has exactly one set-2 member —
     virtually all of a deduplicated repertoire — emit through a
-    gather instead of the generic variable-repeat path."""
+    gather instead of the generic variable-repeat path.
+
+    drop_singletons (same-set callers that filter i != j afterwards):
+    a singleton group's only pair is its self pair, so the huge
+    mostly-diagonal singleton emission — ~24M of ~24.5M pairs at Keck
+    scale, ~1.2 GB of transient int64 arrays per grouping pass — is
+    skipped entirely."""
     ng = int(max(ga.max(initial=-1), gb.max(initial=-1))) + 1
     order2 = np.argsort(gb, kind="stable")
     gcnt = np.bincount(gb, minlength=ng)
@@ -112,8 +120,12 @@ def _join_groups(
 
     one = cnt == 1
     multi_rows = np.nonzero(~one)[0]
-    i1_parts = [np.nonzero(one)[0].astype(np.int64)]
-    i2_parts = [order2[starts[one]]]
+    if drop_singletons:
+        i1_parts: list[np.ndarray] = []
+        i2_parts: list[np.ndarray] = []
+    else:
+        i1_parts = [np.nonzero(one)[0].astype(np.int64)]
+        i2_parts = [order2[starts[one]]]
     if len(multi_rows):
         mcnt = cnt[multi_rows]
         total = int(mcnt.sum())
@@ -121,6 +133,9 @@ def _join_groups(
         offs = np.cumsum(mcnt) - mcnt
         ramp = np.arange(total, dtype=np.int64) - np.repeat(offs, mcnt)
         i2_parts.append(order2[np.repeat(starts[multi_rows], mcnt) + ramp])
+    if not i1_parts:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy()
     return np.concatenate(i1_parts), np.concatenate(i2_parts)
 
 
@@ -394,7 +409,7 @@ def _find_pairs_pigeonhole(
         if budget < 0:
             return None
 
-        i1, i2 = _join_groups(ga, gb)
+        i1, i2 = _join_groups(ga, gb, drop_singletons=same)
         if same:
             keep = i1 != i2
             i1, i2 = i1[keep], i2[keep]
@@ -510,7 +525,10 @@ def _find_pairs_pigeonhole_indel(
         budget -= est
         if budget < 0:
             return False
-        i1, i2 = _join_groups(ga, gb)
+        # same-set: any singleton's only pair maps to (phys, phys) —
+        # the two virtual copies of one physical row always differ in
+        # pairlen, hence never share a group
+        i1, i2 = _join_groups(ga, gb, drop_singletons=same)
         p1 = virt_to_phys1[i1]
         p2 = virt_to_phys2[i2]
         if same:

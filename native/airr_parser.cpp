@@ -155,6 +155,10 @@ struct Result {
   std::vector<uint8_t> has_sequence_id;
   StringArena sequence_ids;
   StringArena keeps;
+  // uint32 offset tables used instead of the arenas' int64 ones when
+  // the blob fits 4 GB (halves the dominant offset memory; the int64
+  // vectors are then left empty and the *_offsets getters return null)
+  std::vector<uint32_t> sid_off32, keep_off32;
   Interner repertoires;
   std::vector<uint8_t> keep_missing_mask;  // per keep column: 1 if absent
 
@@ -279,7 +283,17 @@ void parse_chunk(const char* p, const char* end, const Columns& cols,
   std::vector<Tok> toks;
   toks.reserve(16);
   std::string joined;
+  // progressively release parsed file pages (clean MAP_PRIVATE
+  // read-only pages; never revisited) so the mapping doesn't stack on
+  // top of the growing output arenas in peak RSS
+  const size_t kDropStride = 32u << 20;
+  uintptr_t drop_from = ((uintptr_t)p + 4095) & ~(uintptr_t)4095;
   while (p < end) {
+    if ((uintptr_t)p >= drop_from + kDropStride) {
+      uintptr_t upto = (uintptr_t)p & ~(uintptr_t)4095;
+      madvise((void*)drop_from, upto - drop_from, MADV_DONTNEED);
+      drop_from = upto;
+    }
     const char* nl = (const char*)memchr(p, '\n', (size_t)(end - p));
     const char* le = nl ? nl : end;
     size_t len = (size_t)(le - p);
@@ -439,13 +453,15 @@ void parse_chunk(const char* p, const char* end, const Columns& cols,
 }
 
 template <typename T>
-void concat(std::vector<T>& dst, const std::vector<Shard>& shards,
+void concat(std::vector<T>& dst, std::vector<Shard>& shards,
             std::vector<T> Shard::*member) {
   size_t total = 0;
   for (const Shard& s : shards) total += (s.*member).size();
   dst.reserve(total);
-  for (const Shard& s : shards)
+  for (Shard& s : shards) {
     dst.insert(dst.end(), (s.*member).begin(), (s.*member).end());
+    std::vector<T>().swap(s.*member);  // destructive: bound co-residency
+  }
 }
 
 }  // namespace
@@ -623,6 +639,11 @@ void* airr_parse(void* session_ptr, const char* filename,
     for (auto& th : threads) th.join();
   }
 
+  // the merge below reads only the shard arenas — release the file
+  // mapping first so it never stacks on the merged copies in peak RSS
+  munmap((void*)buf, fsize);
+  buf = nullptr;
+
   // ---- first (in file order) error wins; earlier shards that
   // errored mask later ones (sequential semantics) ----
   for (int t = 0; t < T; t++) {
@@ -634,7 +655,6 @@ void* airr_parse(void* session_ptr, const char* filename,
       r->err_lineno = lineno + s.err_lineno;
       r->err_char = s.err_char;
       r->err_detail = s.err_detail;
-      munmap((void*)buf, fsize);
       return r;
     }
   }
@@ -655,29 +675,46 @@ void* airr_parse(void* session_ptr, const char* filename,
   }
   r->n = total_n;
   r->residues.reserve(total_res);
-  for (const Shard& s : shards) r->residues.append(s.residues);
+  for (Shard& s : shards) {
+    r->residues.append(s.residues);
+    std::string().swap(s.residues);
+  }
   concat(r->row_hash, shards, &Shard::row_hash);
   concat(r->lengths, shards, &Shard::lengths);
   concat(r->counts, shards, &Shard::counts);
   concat(r->has_sequence_id, shards, &Shard::has_sequence_id);
 
-  // string arenas: blob concat + offset rebase
+  // string arenas: blob concat + offset rebase (uint32 offsets when
+  // the blob fits 4 GB — halves the dominant offset table)
   for (StringArena Shard::*m : {&Shard::sequence_ids, &Shard::keeps}) {
-    StringArena& dst =
-        (m == &Shard::sequence_ids) ? r->sequence_ids : r->keeps;
+    bool is_sid = (m == &Shard::sequence_ids);
+    StringArena& dst = is_sid ? r->sequence_ids : r->keeps;
+    std::vector<uint32_t>& dst32 = is_sid ? r->sid_off32 : r->keep_off32;
     size_t blob_total = 0, noff = 0;
     for (const Shard& s : shards) {
       blob_total += (s.*m).blob.size();
       noff += (s.*m).offsets.size() - 1;
     }
+    bool narrow = blob_total < ((size_t)1 << 32);
     dst.blob.reserve(blob_total);
-    dst.offsets.reserve(noff + 1);
-    for (const Shard& s : shards) {
+    if (narrow) {
+      dst32.reserve(noff + 1);
+      dst32.push_back(0);
+    } else {
+      dst.offsets.reserve(noff + 1);
+    }
+    for (Shard& s : shards) {
       int64_t base = (int64_t)dst.blob.size();
       dst.blob.append((s.*m).blob);
       const auto& offs = (s.*m).offsets;
-      for (size_t i = 1; i < offs.size(); i++)
-        dst.offsets.push_back(base + offs[i]);
+      for (size_t i = 1; i < offs.size(); i++) {
+        if (narrow)
+          dst32.push_back((uint32_t)(base + offs[i]));
+        else
+          dst.offsets.push_back(base + offs[i]);
+      }
+      std::string().swap((s.*m).blob);
+      std::vector<int64_t>().swap((s.*m).offsets);
     }
   }
 
@@ -712,12 +749,11 @@ void* airr_parse(void* session_ptr, const char* filename,
       r->j_no[(size_t)(base + i)] = jmap[(size_t)lj];
     }
     base += s.n;
-    // free shard arenas as we go (halves peak during merge)
-    s.residues.clear();
-    s.residues.shrink_to_fit();
+    // free the whole shard as we go (halves peak during merge; every
+    // other field was already concatenated into the result above)
+    s = Shard();
   }
 
-  munmap((void*)buf, fsize);
   return r;
 }
 
@@ -763,13 +799,23 @@ const uint8_t* airr_has_sequence_id(void* rp) {
   return static_cast<Result*>(rp)->has_sequence_id.data();
 }
 const int64_t* airr_sequence_id_offsets(void* rp) {
-  return static_cast<Result*>(rp)->sequence_ids.offsets.data();
+  Result* r = static_cast<Result*>(rp);
+  return r->sid_off32.empty() ? r->sequence_ids.offsets.data() : nullptr;
+}
+const uint32_t* airr_sequence_id_offsets32(void* rp) {
+  Result* r = static_cast<Result*>(rp);
+  return r->sid_off32.empty() ? nullptr : r->sid_off32.data();
 }
 const char* airr_sequence_id_blob(void* rp) {
   return static_cast<Result*>(rp)->sequence_ids.blob.data();
 }
 const int64_t* airr_keep_offsets(void* rp) {
-  return static_cast<Result*>(rp)->keeps.offsets.data();
+  Result* r = static_cast<Result*>(rp);
+  return r->keep_off32.empty() ? r->keeps.offsets.data() : nullptr;
+}
+const uint32_t* airr_keep_offsets32(void* rp) {
+  Result* r = static_cast<Result*>(rp);
+  return r->keep_off32.empty() ? nullptr : r->keep_off32.data();
 }
 const char* airr_keep_blob(void* rp) {
   return static_cast<Result*>(rp)->keeps.blob.data();
@@ -821,6 +867,12 @@ void airr_drop_residues(void* rp) {
   Result* r = static_cast<Result*>(rp);
   r->residues.clear();
   r->residues.shrink_to_fit();
+}
+
+// release the row-hash arena once no remaining path reads it
+// (approximate matching never does; SeqDB.drop_row_hash)
+void airr_drop_row_hash(void* rp) {
+  std::vector<uint64_t>().swap(static_cast<Result*>(rp)->row_hash);
 }
 
 }  // extern "C"

@@ -164,3 +164,47 @@ def test_ring_matches_replicated_and_single():
         np.testing.assert_allclose(repl, single, rtol=0, atol=0)
         if dx2 is d1:  # self-compare always has matches
             assert single.sum() > 0
+
+
+def test_input_shard_merge(tmp_path, monkeypatch):
+    """COMPAIRR_INPUT_SHARD=k/n partial runs merge exactly into the
+    full run's matrix (the multi-host input sharding; requires the
+    native parser)."""
+    from compairr_tpu.io.native import load_library
+
+    if load_library() is None:
+        pytest.skip("native parser not built")
+    from compairr_tpu.cli import main
+
+    a = make_tsv(str(tmp_path / "a.tsv"), 400, 4, seed=91,
+                 alphabet_sub=3, len_range=(6, 9))
+    b = make_tsv(str(tmp_path / "b.tsv"), 300, 5, seed=92,
+                 alphabet_sub=3, len_range=(6, 9))
+
+    def threecol(path):
+        out = {}
+        with open(path) as f:
+            assert f.readline().startswith("#")
+            for line in f:
+                r1, r2, v = line.rstrip("\n").split("\t")
+                out[(r1, r2)] = out.get((r1, r2), 0.0) + float(v)
+        return out
+
+    full = tmp_path / "full.tsv"
+    monkeypatch.delenv("COMPAIRR_INPUT_SHARD", raising=False)
+    assert main(["-m", "-d", "1", "-a", a, b, "-o", str(full),
+                 "-l", str(tmp_path / "l0.txt")]) == 0
+    want = threecol(full)
+    merged = {}
+    hosts = 3
+    for k in range(hosts):
+        monkeypatch.setenv("COMPAIRR_INPUT_SHARD", f"{k}/{hosts}")
+        part = tmp_path / f"part{k}.tsv"
+        assert main(["-m", "-d", "1", "-a", a, b, "-o", str(part),
+                     "-l", str(tmp_path / f"l{k+1}.txt")]) == 0
+        for key, v in threecol(part).items():
+            merged[key] = merged.get(key, 0.0) + v
+    keys = set(want) | set(merged)
+    assert any(want.values()), "fixture produced no matches"
+    for key in keys:
+        assert merged.get(key, 0.0) == want.get(key, 0.0), key
