@@ -268,6 +268,77 @@ def worklist_from_keys(
     return out
 
 
+def classify_worklist(
+    work: np.ndarray,
+    keys_a: np.ndarray,
+    n_a: int,
+    keys_b: np.ndarray,
+    n_b: int,
+    tile_m: int,
+    tile_n: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(has_eq, has_pm) per worklist tile: whether the tile can contain
+    a pair with equal bucket keys (Hamming-candidate) / keys differing
+    by exactly one (one-indel candidate, len±1 within a (v,j) bucket —
+    the key encodes length in its low 16 bits).
+
+    Exact, not conservative: a tile's row block covers a contiguous
+    index range of the sorted keys, so the key values present in it are
+    precisely the distinct key values within its [lo, hi] key range.
+    Class existence therefore reduces to range-restricted membership
+    counts over the distinct key values, vectorised with prefix sums.
+
+    Every real match pair has key distance <= 1 (same genes when keyed
+    by (v,j); length within one), so a tile with neither class can be
+    dropped outright, and single-class tiles run the cheaper kernel
+    (Hamming-only skips both prefix/suffix matmuls; indel-only skips
+    the Hamming matmul)."""
+    nt = len(work)
+    if nt == 0 or n_a == 0 or n_b == 0:
+        z = np.zeros(nt, dtype=bool)
+        return z, z
+    ua = np.unique(keys_a[:n_a])
+    ub = np.unique(keys_b[:n_b])
+
+    def member(vals):
+        idx = np.searchsorted(ub, vals)
+        idx = np.minimum(idx, len(ub) - 1)
+        return ub[idx] == vals
+
+    def prefix(flags):
+        p = np.zeros(len(ua) + 1, dtype=np.int64)
+        np.cumsum(flags, out=p[1:])
+        return p
+
+    p_eq = prefix(member(ua))
+    p_up = prefix(member(ua + 1))
+    p_dn = prefix(member(ua - 1))
+
+    r0 = work[:, 0].astype(np.int64)
+    c0 = work[:, 1].astype(np.int64)
+    ka_lo = keys_a[r0]
+    ka_hi = keys_a[np.minimum(r0 + tile_m, n_a) - 1]
+    kb_lo = keys_b[np.minimum(c0, n_b - 1)]
+    kb_hi = keys_b[np.minimum(c0 + tile_n, n_b) - 1]
+
+    def any_in(p, lo, hi):
+        i0 = np.searchsorted(ua, lo, side="left")
+        i1 = np.searchsorted(ua, hi, side="right")
+        return p[np.maximum(i1, i0)] - p[i0] > 0
+
+    has_eq = any_in(
+        p_eq, np.maximum(ka_lo, kb_lo), np.minimum(ka_hi, kb_hi)
+    )
+    # an up-pair needs a key u in the a-block with u+1 both present in
+    # set b and inside the b-block's key range (u in [kb_lo-1, kb_hi-1])
+    has_pm = any_in(
+        p_up, np.maximum(ka_lo, kb_lo - 1), np.minimum(ka_hi, kb_hi - 1)
+    ) | any_in(
+        p_dn, np.maximum(ka_lo, kb_lo + 1), np.minimum(ka_hi, kb_hi + 1)
+    )
+    return has_eq, has_pm
+
+
 def build_worklist(
     a: PackedSet, b: PackedSet, spec: MatchSpec, tile_m: int, tile_n: int
 ) -> np.ndarray:
@@ -324,6 +395,7 @@ def _tile_codes(
     ignore_genes: bool,
     exclude_self: bool,
     mxu: bool = False,
+    indel_only: bool = False,
 ):
     """Distance codes for one [TM, TN] tile: 0 = no match, else
     distance + 1. Pure jnp; shapes are static. The mask/distance
@@ -333,7 +405,7 @@ def _tile_codes(
         a_seq, a_rseq, a_len, a_v, a_j,
         b_seq, b_rseq, b_len, b_v, b_j,
         differences=differences, indels=indels,
-        ignore_genes=ignore_genes, mxu=mxu,
+        ignore_genes=ignore_genes, mxu=mxu, indel_only=indel_only,
     )
     if exclude_self:
         match = match & (a_orig[:, None] != b_orig[None, :])
@@ -356,13 +428,21 @@ def _tile_match(
     indels: bool,
     ignore_genes: bool,
     mxu: bool,
+    indel_only: bool = False,
 ):
     """Boolean match mask for one tile. With mxu=True the Hamming
     distance comes from a one-hot int8 matmul (pad residue one-hots to
     itself, so for equal-length pairs distance = padded_width -
-    matches) — the MXU-friendly formulation."""
+    matches) — the MXU-friendly formulation. indel_only skips the
+    Hamming work on tiles classify_worklist proved hold no equal-key
+    pair."""
     lpad = a_seq.shape[1]
-    if mxu:
+    if indel_only:
+        assert indels, "indel_only tiles only exist on indel runs"
+        mism = jnp.zeros(
+            (a_seq.shape[0], b_seq.shape[0]), dtype=jnp.int32
+        )
+    elif mxu:
         nclass = 32  # >= alphabet+pad, padded for clean tiling
         cls = lax.broadcasted_iota(jnp.int8, (1, 1, nclass), 2)
         oh_a = (a_seq[:, :, None] == cls).astype(jnp.int8)
@@ -382,7 +462,12 @@ def _tile_match(
         )
     len_eq = a_len[:, None] == b_len[None, :]
     valid = (a_len[:, None] > 0) & (b_len[None, :] > 0)
-    match = len_eq & (mism <= differences)
+    if indel_only:
+        # no equal-key pair exists in the tile, so no equal-length pair
+        # can match (same genes + equal length would be an equal key)
+        match = jnp.zeros_like(len_eq)
+    else:
+        match = len_eq & (mism <= differences)
     dist = mism
 
     if indels:
@@ -650,17 +735,25 @@ def dense_matrix(
 
 @lru_cache(maxsize=None)
 def _count_fn(spec: MatchSpec, tile_m: int, tile_n: int,
-              mxu: bool = False):
+              mxu: bool = False, indels_ov: Optional[bool] = None,
+              indel_only: bool = False):
     """Per-tile match counts over the whole worklist in one dispatch —
     phase 1 of sparse extraction. Only tiles with matches are then
     materialised and transferred (phase 2), which matters on TPU where
-    every host round trip and byte of D2H traffic is expensive."""
+    every host round trip and byte of D2H traffic is expensive.
+    indels_ov/indel_only override the spec-derived kernel class for
+    classified worklist streams (classify_worklist)."""
     kw = dict(
         differences=spec.differences,
-        indels=spec.indels and spec.differences == 1,
+        indels=(
+            spec.indels and spec.differences == 1
+            if indels_ov is None
+            else indels_ov
+        ),
         ignore_genes=spec.ignore_genes,
         exclude_self=spec.exclude_self,
         mxu=mxu,
+        indel_only=indel_only,
     )
 
     def run(a_seq, a_rseq, a_len, a_v, a_j, a_orig,
@@ -691,7 +784,9 @@ K_EXTRACT_BIG = 1 << 18  # capacity for match-dense workloads
 
 @lru_cache(maxsize=None)
 def _extract_fn(spec: MatchSpec, tile_m: int, tile_n: int, slab: int,
-                k: int, mxu: bool = False):
+                k: int, mxu: bool = False,
+                indels_ov: Optional[bool] = None,
+                indel_only: bool = False):
     """Phase-2 sparse extraction with on-device compaction: compute
     the match masks for `slab` tiles, pack each tile row's lanes into
     uint32 bit-words (32 columns per word), and emit only the nonzero
@@ -703,10 +798,15 @@ def _extract_fn(spec: MatchSpec, tile_m: int, tile_n: int, slab: int,
     original sequences (engine._pair_distances)."""
     kw = dict(
         differences=spec.differences,
-        indels=spec.indels and spec.differences == 1,
+        indels=(
+            spec.indels and spec.differences == 1
+            if indels_ov is None
+            else indels_ov
+        ),
         ignore_genes=spec.ignore_genes,
         exclude_self=spec.exclude_self,
         mxu=mxu,
+        indel_only=indel_only,
     )
 
     def run(a_seq, a_rseq, a_len, a_v, a_j, a_orig,
@@ -969,7 +1069,23 @@ def find_pairs(
     work = worklist_from_keys(
         key_a, db1.n, key_b, db2.n, delta, tile, tile
     )
-    w = len(work)
+    # per-tile kernel classes: Hamming-only tiles skip both
+    # prefix/suffix matmuls, pure-±1 tiles skip the Hamming matmul,
+    # and tiles that can hold no key-compatible pair at all are
+    # dropped before the count phase ever sees them
+    has_eq, has_pm = classify_worklist(
+        work, key_a, db1.n, key_b, db2.n, tile, tile
+    )
+    if delta:
+        streams = [
+            (work[has_eq & ~has_pm], False, False),
+            (work[has_eq & has_pm], True, False),
+            (work[~has_eq & has_pm], True, True),
+        ]
+    else:
+        streams = [(work[has_eq], False, False)]
+    streams = [s for s in streams if len(s[0])]
+    w = sum(len(s[0]) for s in streams)
 
     if logger is not None and progress_prompt is not None:
         logger.progress_init(progress_prompt, max(w, 1))
@@ -994,43 +1110,51 @@ def find_pairs(
         # buffer. On TPU this is a Pallas MXU kernel (the XLA scan
         # serialises tiny VPU tiles, ~10^4x slower on million-tile
         # worklists).
-        span = [w * di // n_dev for di in range(n_dev + 1)]
-        cand_parts: list[np.ndarray] = []
-        cnt_parts: list = []
-        for di in range(n_dev):
-            cw = work[span[di] : span[di + 1]]
-            if len(cw) == 0:
-                continue
-            ra, rb, rpa, rpb = replicas[di]
-            if on_tpu:
-                from .pallas_kernels import count_tiles_pallas
+        filtered = []  # (work, tile_counts, s_indels, s_ionly)
+        for swork, s_ind, s_io in streams:
+            sw = len(swork)
+            nd = max(1, min(n_dev, sw // _TILES_PER_DEVICE_MIN))
+            span = [sw * di // nd for di in range(nd + 1)]
+            cand_parts: list[np.ndarray] = []
+            cnt_parts: list = []
+            for di in range(nd):
+                cw = swork[span[di] : span[di + 1]]
+                if len(cw) == 0:
+                    continue
+                ra, rb, rpa, rpb = replicas[di]
+                if on_tpu:
+                    from .pallas_kernels import count_tiles_pallas
 
-                cand_parts.append(cw)
-                cnt_parts.append(
-                    count_tiles_pallas(
-                        rpa, rpb, cw,
-                        differences=spec.differences,
-                        indels=spec.indels and spec.differences == 1,
-                        ignore_genes=spec.ignore_genes,
-                        exclude_self=spec.exclude_self,
-                        tile_m=tile, tile_n=tile,
+                    cand_parts.append(cw)
+                    cnt_parts.append(
+                        count_tiles_pallas(
+                            rpa, rpb, cw,
+                            differences=spec.differences,
+                            indels=s_ind,
+                            ignore_genes=spec.ignore_genes,
+                            exclude_self=spec.exclude_self,
+                            tile_m=tile, tile_n=tile,
+                            indel_only=s_io,
+                        )
                     )
-                )
-            else:
-                cd = pad_worklist_n(cw, npad_a, npad_b, tile, tile)
-                cand_parts.append(cd)
-                cnt_parts.append(
-                    _count_fn(spec, tile, tile)(
-                        *ra, *rb,
-                        jax.device_put(jnp.asarray(cd), devs[di]),
+                else:
+                    cd = pad_worklist_n(cw, npad_a, npad_b, tile, tile)
+                    cand_parts.append(cd)
+                    cnt_parts.append(
+                        _count_fn(
+                            spec, tile, tile,
+                            indels_ov=s_ind, indel_only=s_io,
+                        )(
+                            *ra, *rb,
+                            jax.device_put(jnp.asarray(cd), devs[di]),
+                        )
                     )
-                )
-        cand = np.concatenate(cand_parts)
-        counts = np.concatenate([np.asarray(c) for c in cnt_parts])
-        nonzero = counts > 0
-        work = cand[nonzero]
-        tile_counts = counts[nonzero]
-        w = len(work)
+            cand = np.concatenate(cand_parts)
+            counts = np.concatenate([np.asarray(c) for c in cnt_parts])
+            nonzero = counts > 0
+            filtered.append(
+                (cand[nonzero], counts[nonzero], s_ind, s_io)
+            )
 
         # phase 2: greedy-pack tiles into slabs of <= S_EXTRACT tiles
         # and <= K_EXTRACT total matches (matched words <= matches, so
@@ -1043,33 +1167,42 @@ def find_pairs(
         # match-dense workloads (e.g. huge self-compares at d=0) fill
         # the word buffer long before the tile bound; a bigger buffer
         # costs download bytes but saves whole dispatches
+        total_matches = sum(int(tc.sum()) for _, tc, _, _ in filtered)
         k_cap = (
             K_EXTRACT_BIG
-            if int(tile_counts.sum()) > (1 << 20) or tile > TILE_M
+            if total_matches > (1 << 20) or tile > TILE_M
             else K_EXTRACT
         )
-        if on_tpu:
-            from .pallas_kernels import extract_tiles_pallas
 
-            def run_slab(slab, di):
-                _ra, _rb, rpa, rpb = replicas[di]
-                return extract_tiles_pallas(
-                    rpa, rpb, slab,
-                    differences=spec.differences,
-                    indels=spec.indels and spec.differences == 1,
-                    ignore_genes=spec.ignore_genes,
-                    exclude_self=spec.exclude_self,
-                    tile_m=tile, tile_n=tile, k=k_cap,
-                )
-        else:
-            run = _extract_fn(spec, tile, tile, s_extract, k_cap)
+        def make_run_slab(s_ind, s_io):
+            if on_tpu:
+                from .pallas_kernels import extract_tiles_pallas
 
-            def run_slab(slab, di):
-                ra, rb, _rpa, _rpb = replicas[di]
-                return run(
-                    *ra, *rb,
-                    jax.device_put(jnp.asarray(slab), devs[di]),
+                def run_slab(slab, di):
+                    _ra, _rb, rpa, rpb = replicas[di]
+                    return extract_tiles_pallas(
+                        rpa, rpb, slab,
+                        differences=spec.differences,
+                        indels=s_ind,
+                        ignore_genes=spec.ignore_genes,
+                        exclude_self=spec.exclude_self,
+                        tile_m=tile, tile_n=tile, k=k_cap,
+                        indel_only=s_io,
+                    )
+            else:
+                run = _extract_fn(
+                    spec, tile, tile, s_extract, k_cap,
+                    indels_ov=s_ind, indel_only=s_io,
                 )
+
+                def run_slab(slab, di):
+                    ra, rb, _rpa, _rpb = replicas[di]
+                    return run(
+                        *ra, *rb,
+                        jax.device_put(jnp.asarray(slab), devs[di]),
+                    )
+
+            return run_slab
 
         wpr = tile // 32  # match-bit words per tile row
         wpt = tile * wpr  # words per tile
@@ -1079,31 +1212,35 @@ def find_pairs(
         # download: D2H transfers overlap the remaining slab compute
         # instead of serialising one round trip per slab
         pending = []
-        s0 = 0
         di = 0
-        while s0 < w:
-            s1 = s0
-            acc = 0
-            while (
-                s1 < w
-                and s1 - s0 < s_extract
-                and acc + tile_counts[s1] <= k_cap
-            ):
-                acc += tile_counts[s1]
-                s1 += 1
-            # forced progress: a single tile can't exceed k_cap today
-            # (tile*tile <= K_EXTRACT_BIG for every tile size), but an
-            # empty slab must never loop forever if that changes
-            s1 = max(s1, s0 + 1)
-            slab = work[s0:s1]
-            nreal = len(slab)
-            if nreal < s_extract:
-                slab = np.concatenate(
-                    [slab, np.repeat(dummy, s_extract - nreal, axis=0)]
-                )
-            pending.append((slab, nreal, run_slab(slab, di)))
-            di = (di + 1) % n_dev
-            s0 = s1
+        for fwork, tile_counts, s_ind, s_io in filtered:
+            run_slab = make_run_slab(s_ind, s_io)
+            fw = len(fwork)
+            s0 = 0
+            while s0 < fw:
+                s1 = s0
+                acc = 0
+                while (
+                    s1 < fw
+                    and s1 - s0 < s_extract
+                    and acc + tile_counts[s1] <= k_cap
+                ):
+                    acc += tile_counts[s1]
+                    s1 += 1
+                # forced progress: a single tile can't exceed k_cap
+                # today (tile*tile <= K_EXTRACT_BIG for every tile
+                # size), but an empty slab must never loop forever if
+                # that changes
+                s1 = max(s1, s0 + 1)
+                slab = fwork[s0:s1]
+                nreal = len(slab)
+                if nreal < s_extract:
+                    slab = np.concatenate(
+                        [slab, np.repeat(dummy, s_extract - nreal, axis=0)]
+                    )
+                pending.append((slab, nreal, run_slab(slab, di)))
+                di = (di + 1) % n_dev
+                s0 = s1
 
         done = 0
         for slab, nreal, (widx, wvals, cnt) in pending:

@@ -112,9 +112,15 @@ def _first_mismatch(a_seq, b_seq, lpad: int):
     EXPONENT (mismatch weights are distinct powers of two, so sums of
     <= 24 of them are exact and the leading term determines the
     exponent), which an i32 bitcast extracts exactly. Bands of 24
-    positions keep every sum exactly representable for any lpad."""
-    oh_a = _onehot(a_seq, NCLASS).astype(jnp.float32)
-    oh_b = _onehot(b_seq, NCLASS).astype(jnp.float32)
+    positions keep every sum exactly representable for any lpad.
+
+    Operands run in bfloat16 (half the VMEM, double the MXU rate):
+    the weights are single powers of two within bf16's exponent range
+    and the one-hots are 0/1, so every product is exact, and the MXU
+    accumulates in f32 where sums of <= 24 distinct powers of two
+    spanning 2^0..2^-23 fit the 24-bit mantissa exactly."""
+    oh_a = _onehot(a_seq, NCLASS).astype(jnp.bfloat16)
+    oh_b = _onehot(b_seq, NCLASS).astype(jnp.bfloat16)
     lanes = oh_a.shape[1]
     # _onehot puts feature (c, p) at lane c*lpad + p
     lane_pos = lax.broadcasted_iota(jnp.int32, (1, lanes), 1) % lpad
@@ -129,7 +135,7 @@ def _first_mismatch(a_seq, b_seq, lpad: int):
             (lane_pos >= lo) & (lane_pos < hi),
             jnp.exp2(-(lane_pos - lo).astype(jnp.float32)),
             0.0,
-        )
+        ).astype(jnp.bfloat16)
         msum = lax.dot_general(
             oh_a * w,
             oh_b,
@@ -156,28 +162,36 @@ def _match_tile_pallas(
     lpad: int,
     tile_m: int,
     tile_n: int,
+    indel_only: bool = False,
 ):
     """Shared in-kernel match mask (refs already loaded): one-hot int8
     MXU matmul Hamming + optional one-indel prefix/suffix check (also
     MXU, via _first_mismatch over the forward and reversed rows) +
     gene/length/validity masks. Returns (match bool [TM,TN],
-    len_pm1 bool [TM,TN] or None)."""
-    oh_a = _onehot(a_seq, NCLASS)
-    oh_b = _onehot(b_seq, NCLASS)
-    matches = lax.dot_general(
-        oh_a,
-        oh_b,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    mism = lpad - matches
+    len_pm1 bool [TM,TN] or None).
 
+    indel_only serves tiles classify_worklist proved contain no
+    equal-key pair: the Hamming matmul is dead weight there and is
+    skipped (2 matmuls per tile instead of 3)."""
     la = a_len  # [TM, 1] int32
     lb = b_len  # [1, TN] int32
-    len_eq = la == lb
     valid = (la > 0) & (lb > 0)
-    match = len_eq & (mism <= differences)
     len_pm1 = None
+
+    if indel_only:
+        assert indels, "indel_only tiles only exist on indel runs"
+        match = jnp.zeros((a_seq.shape[0], b_seq.shape[0]), jnp.bool_)
+    else:
+        oh_a = _onehot(a_seq, NCLASS)
+        oh_b = _onehot(b_seq, NCLASS)
+        matches = lax.dot_general(
+            oh_a,
+            oh_b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        mism = lpad - matches
+        match = (la == lb) & (mism <= differences)
 
     if indels:
         # one-indel criterion (variants.cc:197-216): common prefix +
@@ -382,6 +396,7 @@ def _make_count_kernel(
     lpad: int,
     tile_m: int,
     tile_n: int,
+    indel_only: bool = False,
 ):
     def kernel(
         rows_ref,
@@ -405,7 +420,7 @@ def _make_count_kernel(
             b_seq[:], b_rseq[:], b_len[:], b_v[:], b_j[:],
             differences=differences, indels=indels,
             ignore_genes=ignore_genes, lpad=lpad,
-            tile_m=tile_m, tile_n=tile_n,
+            tile_m=tile_m, tile_n=tile_n, indel_only=indel_only,
         )
         if exclude_self:
             match = match & (a_orig[:].T != b_orig[:])
@@ -428,6 +443,7 @@ def _count_pallas_fn(
     tile_n: int,
     n_tiles: int,
     interpret: bool = False,
+    indel_only: bool = False,
 ):
     """Per-worklist-tile match counts on the MXU — phase 1 of sparse
     extraction. One program per tile; each writes its own [1,1] count
@@ -441,6 +457,7 @@ def _count_pallas_fn(
         lpad=lpad,
         tile_m=tile_m,
         tile_n=tile_n,
+        indel_only=indel_only,
     )
 
     def a_spec(width):
@@ -530,6 +547,7 @@ def _make_extract_kernel(
     lpad: int,
     tile_m: int,
     tile_n: int,
+    indel_only: bool = False,
 ):
     """Phase-2 kernel: per worklist tile, the match mask packed into
     uint32 bit-words (32 columns per word). The packing runs on the
@@ -560,7 +578,7 @@ def _make_extract_kernel(
             b_seq[:], b_rseq[:], b_len[:], b_v[:], b_j[:],
             differences=differences, indels=indels,
             ignore_genes=ignore_genes, lpad=lpad,
-            tile_m=tile_m, tile_n=tile_n,
+            tile_m=tile_m, tile_n=tile_n, indel_only=indel_only,
         )
         if exclude_self:
             match = match & (a_orig[:].T != b_orig[:])
@@ -602,6 +620,7 @@ def _extract_pallas_fn(
     n_tiles: int,
     k: int,
     interpret: bool = False,
+    indel_only: bool = False,
 ):
     """Packed-word extraction for one slab: the Pallas kernel emits
     [n_tiles, TM, TN/32] uint32 match words; the fused XLA epilogue
@@ -615,6 +634,7 @@ def _extract_pallas_fn(
         lpad=lpad,
         tile_m=tile_m,
         tile_n=tile_n,
+        indel_only=indel_only,
     )
     wpr = tile_n // 32
 
@@ -720,6 +740,7 @@ def extract_tiles_pallas(
     tile_n: int,
     k: int,
     interpret: bool = False,
+    indel_only: bool = False,
 ):
     """Dispatch one padded extraction slab; returns device
     (word_indices, word_bits, count)."""
@@ -727,7 +748,7 @@ def extract_tiles_pallas(
     dev = _device_of(pa["seqs"])
     fn = _extract_pallas_fn(
         differences, indels, ignore_genes, exclude_self,
-        lpad, tile_m, tile_n, int(len(slab)), k, interpret,
+        lpad, tile_m, tile_n, int(len(slab)), k, interpret, indel_only,
     )
     rows = jax.device_put((slab[:, 0] // tile_m).astype(np.int32), dev)
     cols = jax.device_put((slab[:, 1] // tile_n).astype(np.int32), dev)
@@ -784,6 +805,7 @@ def count_tiles_pallas(
     tile_m: int,
     tile_n: int,
     interpret: bool = False,
+    indel_only: bool = False,
 ) -> np.ndarray:
     """Per-tile match counts over an (unpadded) worklist of element
     starts, chunked to keep the scalar-prefetch arrays within SMEM.
@@ -805,7 +827,7 @@ def count_tiles_pallas(
     ):
         fn = _count_pallas_fn(
             differences, indels, ignore_genes, exclude_self,
-            lpad, tile_m, tile_n, int(len(chunk)), interpret,
+            lpad, tile_m, tile_n, int(len(chunk)), interpret, indel_only,
         )
         rows = jax.device_put((chunk[:, 0] // tile_m).astype(np.int32), dev)
         cols = jax.device_put((chunk[:, 1] // tile_n).astype(np.int32), dev)

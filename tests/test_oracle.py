@@ -234,3 +234,43 @@ def test_pigeonhole_overflow_falls_back(monkeypatch):
     ko = np.sort(ov[0] * (1 << 32) + ov[1])
     kt = np.sort(tl[0] * (1 << 32) + tl[1])
     np.testing.assert_array_equal(ko, kt)
+
+
+def test_classify_worklist_exact():
+    """classify_worklist's per-tile (has_eq, has_pm) flags must agree
+    with a brute-force scan of the key values actually present in each
+    tile's row/column blocks — exactly, both directions (a wrongly
+    dropped tile loses pairs; a wrongly kept one only wastes work, but
+    the classes feed kernels that skip matmuls, so both must be
+    right)."""
+    from compairr_tpu.ops.engine import classify_worklist, worklist_from_keys
+
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        tile = int(rng.choice([4, 8]))
+        n_a = int(rng.integers(1, 90))
+        n_b = int(rng.integers(1, 90))
+        # clustered keys with gaps so blocks span bucket boundaries
+        ka = np.sort(rng.choice(np.arange(0, 40, 3), n_a)
+                     + rng.integers(0, 3, n_a)).astype(np.int64)
+        kb = np.sort(rng.choice(np.arange(0, 40, 3), n_b)
+                     + rng.integers(0, 3, n_b)).astype(np.int64)
+        npad_a = ((n_a + tile) // tile + 1) * tile
+        npad_b = ((n_b + tile) // tile + 1) * tile
+        keys_a = np.full(npad_a, np.iinfo(np.int64).max, dtype=np.int64)
+        keys_a[:n_a] = ka
+        keys_b = np.full(npad_b, np.iinfo(np.int64).max, dtype=np.int64)
+        keys_b[:n_b] = kb
+        work = worklist_from_keys(keys_a, n_a, keys_b, n_b, 1, tile, tile)
+        has_eq, has_pm = classify_worklist(
+            work, keys_a, n_a, keys_b, n_b, tile, tile
+        )
+        for t in range(len(work)):
+            ra = set(ka[work[t, 0]: min(work[t, 0] + tile, n_a)].tolist())
+            rb = set(kb[work[t, 1]: min(work[t, 1] + tile, n_b)].tolist())
+            want_eq = bool(ra & rb)
+            want_pm = bool(
+                {k + 1 for k in ra} & rb or {k - 1 for k in ra} & rb
+            )
+            assert has_eq[t] == want_eq, (trial, t)
+            assert has_pm[t] == want_pm, (trial, t)
