@@ -366,8 +366,10 @@ int64_t group_pieces(const int8_t* seqs, int64_t n, int64_t row_bytes,
 // when given — with per-group member chains, then probe every
 // single-substitution variant of every small-set row against it,
 // materialising each variant only in a W-byte scratch buffer. Emits
-// all (seed, big row) candidate pairs (duplicates possible via the
-// identity variant; the caller uniquifies) and writes the big rows'
+// all (seed, big row) candidate pairs — duplicate-free, because the
+// identity is probed once and a == orig substitutions are skipped,
+// so each big row is reachable from a seed by exactly one probe
+// string — and writes the big rows'
 // (sequence, meta) group ids — which refine into the duplicate-count
 // warning for free. This replaces the reference's per-seed Zobrist
 // variant hashing (/root/reference/src/variants.cc:280-293,
@@ -411,21 +413,32 @@ int64_t variant_join(const int8_t* small_seqs, int64_t ns,
   }
   int32_t* nxt = head + nb;
   int64_t n_group_reps = 0;
-  auto note_group_rep = [&](int64_t leader, int64_t i) {
-    // packed (leader+1, rep) key; insert-if-absent counts distincts
-    uint64_t key = ((uint64_t)(uint32_t)big_rep[i] << 32) |
-                   (uint64_t)(uint32_t)(leader + 1);
+  // rep_slots holds packed (leader+1, rep) distinct-pair keys, but is
+  // only ever touched for DUPLICATE rows: a fresh group necessarily
+  // starts a fresh pair, so it is counted without an insert, and the
+  // leader's own pair is materialised lazily when the group first
+  // sees a second member. Duplicate-free sets (the common case) thus
+  // never pay the second random table access per row.
+  auto rep_insert = [&](uint64_t key, bool count) {
     uint64_t j = mix64(key) & mask;
     for (;;) {
       uint64_t s = rep_slots[j];
       if (s == 0) {
         rep_slots[j] = key;
-        n_group_reps++;
+        if (count) n_group_reps++;
         return;
       }
       if (s == key) return;
       j = (j + 1) & mask;
     }
+  };
+  auto note_group_rep = [&](int64_t leader, int64_t i) {
+    uint64_t lkey = ((uint64_t)(uint32_t)big_rep[leader] << 32) |
+                    (uint64_t)(uint32_t)(leader + 1);
+    rep_insert(lkey, false);  // counted when the group was created
+    uint64_t key = ((uint64_t)(uint32_t)big_rep[i] << 32) |
+                   (uint64_t)(uint32_t)(leader + 1);
+    rep_insert(key, true);
   };
 
   auto fnv = [](const int8_t* p, int64_t len) -> uint64_t {
@@ -442,107 +455,154 @@ int64_t variant_join(const int8_t* small_seqs, int64_t ns,
   };
 
   // build: insert big rows, chaining duplicates under the
-  // representative so probes can enumerate every member
+  // representative so probes can enumerate every member. Hashes are
+  // (nearly) free — the parser's per-row FNV plus a few mixes — so the
+  // build is bound by one random slot access per row; batching the
+  // hash computation and software-prefetching the home slots keeps
+  // many of those misses in flight instead of serialising them.
   int64_t n_groups = 0;
-  for (int64_t i = 0; i < nb; ++i) {
-    const int8_t* row = big_seqs + i * row_bytes;
-    const int32_t* me = big_meta + i * m;
-    uint64_t h = big_prehash ? big_prehash[i] : fnv(row, big_lens[i]);
-    h = with_meta(h, me, m);
-    const uint64_t tag = h & 0xffffffff00000000ULL;
-    uint64_t j = h & mask;
-    for (;;) {
-      uint64_t s = slots[j];
-      if (s == 0) {
-        slots[j] = tag | (uint64_t)(uint32_t)(i + 1);
-        big_group_out[i] = n_groups++;
-        head[i] = (int32_t)i;
-        nxt[i] = -1;
-        if (big_rep) {
-          // a fresh group always starts a fresh (group, rep) pair
-          uint64_t key = ((uint64_t)(uint32_t)big_rep[i] << 32) |
-                         (uint64_t)(uint32_t)(i + 1);
-          uint64_t jj = mix64(key) & mask;
-          while (rep_slots[jj] != 0) jj = (jj + 1) & mask;
-          rep_slots[jj] = key;
-          n_group_reps++;
-        }
-        break;
-      }
-      if ((s & 0xffffffff00000000ULL) == tag) {
-        int64_t other = (int64_t)(uint32_t)s - 1;
-        if (memcmp(big_seqs + other * row_bytes, row,
-                   (size_t)row_bytes) == 0 &&
-            (m == 0 || memcmp(big_meta + other * m, me,
-                              (size_t)m * sizeof(int32_t)) == 0)) {
-          big_group_out[i] = big_group_out[other];
-          nxt[i] = head[other];
-          head[other] = (int32_t)i;
-          if (big_rep) note_group_rep(other, i);
+  constexpr int64_t kBatch = 16;
+  uint64_t hbuf[kBatch];
+  for (int64_t base = 0; base < nb; base += kBatch) {
+    const int64_t bn = base + kBatch <= nb ? kBatch : nb - base;
+    for (int64_t k = 0; k < bn; ++k) {
+      const int64_t i = base + k;
+      uint64_t h = big_prehash ? big_prehash[i]
+                               : fnv(big_seqs + i * row_bytes,
+                                     big_lens[i]);
+      h = with_meta(h, big_meta + i * m, m);
+      hbuf[k] = h;
+      __builtin_prefetch(&slots[h & mask], 1);
+    }
+    for (int64_t k = 0; k < bn; ++k) {
+      const int64_t i = base + k;
+      const int8_t* row = big_seqs + i * row_bytes;
+      const int32_t* me = big_meta + i * m;
+      const uint64_t h = hbuf[k];
+      const uint64_t tag = h & 0xffffffff00000000ULL;
+      uint64_t j = h & mask;
+      for (;;) {
+        uint64_t s = slots[j];
+        if (s == 0) {
+          slots[j] = tag | (uint64_t)(uint32_t)(i + 1);
+          big_group_out[i] = n_groups++;
+          head[i] = (int32_t)i;
+          nxt[i] = -1;
+          // fresh group => fresh (group, rep) pair; counted lazily
+          // (see rep_insert) without touching rep_slots
+          if (big_rep) n_group_reps++;
           break;
         }
+        if ((s & 0xffffffff00000000ULL) == tag) {
+          int64_t other = (int64_t)(uint32_t)s - 1;
+          if (memcmp(big_seqs + other * row_bytes, row,
+                     (size_t)row_bytes) == 0 &&
+              (m == 0 || memcmp(big_meta + other * m, me,
+                                (size_t)m * sizeof(int32_t)) == 0)) {
+            big_group_out[i] = big_group_out[other];
+            nxt[i] = head[other];
+            head[other] = (int32_t)i;
+            if (big_rep) note_group_rep(other, i);
+            break;
+          }
+        }
+        j = (j + 1) & mask;
       }
-      j = (j + 1) & mask;
     }
   }
   *n_groups_out = n_groups;
   *n_group_reps_out = n_group_reps;
 
-  // probe: every single-substitution variant of every small row
-  // (identity substitutions included — they find the exact matches)
+  // probe: the seed itself (exact matches) plus every non-identity
+  // single-substitution variant. Skipping a == orig makes every probe
+  // string distinct — each big row at Hamming distance exactly 1 is
+  // found by exactly one variant, and distance 0 only by the identity
+  // probe — so the emitted pair list is duplicate-free by
+  // construction. Variant hashes are precomputed per seed with their
+  // home slots prefetched, overlapping the table's cache misses.
   int8_t* scratch = (int8_t*)malloc((size_t)row_bytes);
-  if (!scratch) {
+  uint64_t* vh =
+      (uint64_t*)malloc((size_t)row_bytes * (size_t)alphabet *
+                        sizeof(uint64_t));
+  if (!scratch || !vh) {
+    free(vh);
+    free(scratch);
     free(head);
     munmap(slots, bytes * 2);
     return -1;
   }
   int64_t n_pairs = 0;
+  auto probe = [&](const int8_t* qrow, const int32_t* me,
+                   uint64_t h, int64_t s_i) -> int {
+    const uint64_t tag = h & 0xffffffff00000000ULL;
+    uint64_t j = h & mask;
+    for (;;) {
+      uint64_t s = slots[j];
+      if (s == 0) return 0;
+      if ((s & 0xffffffff00000000ULL) == tag) {
+        int64_t other = (int64_t)(uint32_t)s - 1;
+        if (memcmp(big_seqs + other * row_bytes, qrow,
+                   (size_t)row_bytes) == 0 &&
+            (m == 0 || memcmp(big_meta + other * m, me,
+                              (size_t)m * sizeof(int32_t)) == 0)) {
+          for (int32_t b = head[other]; b >= 0; b = nxt[b]) {
+            if (n_pairs >= pairs_cap) return -1;
+            pairs_out[n_pairs * 2] = s_i;
+            pairs_out[n_pairs * 2 + 1] = b;
+            n_pairs++;
+          }
+          return 0;
+        }
+      }
+      j = (j + 1) & mask;
+    }
+  };
   for (int64_t s_i = 0; s_i < ns; ++s_i) {
     const int8_t* srow = small_seqs + s_i * row_bytes;
     const int32_t* me = small_meta + s_i * m;
     int64_t len = small_lens[s_i];
     memcpy(scratch, srow, (size_t)row_bytes);
+    // pass 1: hash the identity and every variant, prefetching slots
+    uint64_t ih = with_meta(fnv(srow, len), me, m);
+    __builtin_prefetch(&slots[ih & mask], 0);
+    int64_t nv = 0;
     for (int64_t p = 0; p < len; ++p) {
-      int8_t orig = srow[p];
+      const int8_t orig = srow[p];
       for (int32_t a = 0; a < alphabet; ++a) {
+        if ((int8_t)a == orig) continue;
         scratch[p] = (int8_t)a;
         uint64_t h = with_meta(fnv(scratch, len), me, m);
-        const uint64_t tag = h & 0xffffffff00000000ULL;
-        uint64_t j = h & mask;
-        for (;;) {
-          uint64_t s = slots[j];
-          if (s == 0) break;
-          if ((s & 0xffffffff00000000ULL) == tag) {
-            int64_t other = (int64_t)(uint32_t)s - 1;
-            if (memcmp(big_seqs + other * row_bytes, scratch,
-                       (size_t)row_bytes) == 0 &&
-                (m == 0 || memcmp(big_meta + other * m, me,
-                                  (size_t)m * sizeof(int32_t)) == 0)) {
-              for (int32_t b = head[other]; b >= 0; b = nxt[b]) {
-                if (n_pairs >= pairs_cap) {
-                  free(scratch);
-                  free(head);
-                  munmap(slots, bytes * 2);
-                  return -2;
-                }
-                pairs_out[n_pairs * 2] = s_i;
-                pairs_out[n_pairs * 2 + 1] = b;
-                n_pairs++;
-              }
-              break;
-            }
-          }
-          j = (j + 1) & mask;
-        }
+        vh[nv++] = h;
+        __builtin_prefetch(&slots[h & mask], 0);
+      }
+      scratch[p] = orig;
+    }
+    // pass 2: probe (same variant order as pass 1)
+    if (probe(srow, me, ih, s_i) < 0) goto overflow;
+    nv = 0;
+    for (int64_t p = 0; p < len; ++p) {
+      const int8_t orig = srow[p];
+      for (int32_t a = 0; a < alphabet; ++a) {
+        if ((int8_t)a == orig) continue;
+        scratch[p] = (int8_t)a;
+        if (probe(scratch, me, vh[nv++], s_i) < 0) goto overflow;
       }
       scratch[p] = orig;
     }
   }
 
+  free(vh);
   free(scratch);
   free(head);
   munmap(slots, bytes * 2);
   return n_pairs;
+
+overflow:
+  free(vh);
+  free(scratch);
+  free(head);
+  munmap(slots, bytes * 2);
+  return -2;
 }
 
 // Thread-capable twin of group_pieces (same bit-identical guarantee).
