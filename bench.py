@@ -228,10 +228,35 @@ def _kernel_metrics(tile):
     }
 
 
+def _probe_backend(timeout_s: int = 180) -> bool:
+    """True iff the default JAX backend initializes within timeout_s.
+
+    A poisoned TPU chip claim makes backend init block ~30 min before
+    raising UNAVAILABLE; probing in a subprocess bounds that. A healthy
+    tunnel claim completes in seconds, so a healthy chip is never
+    killed mid-claim (which would itself poison the claim)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+        return r.returncode == 0 and bool(r.stdout.strip())
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
 
     _ensure_native()
+    if not _probe_backend():
+        # TPU tunnel down: fall back to CPU so the bench still records
+        # a result instead of hanging; the metric's backend field makes
+        # the degraded run self-describing.
+        sys.stderr.write("bench: backend probe failed; CPU fallback\n")
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        jax.config.update("jax_platforms", "cpu")
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
     n = int(
