@@ -53,6 +53,40 @@ TILE_M = 128
 TILE_N = 128
 
 
+class _PhaseTimer:
+    """Opt-in coarse phase timing for find_pairs (COMPAIRR_TIMING=1):
+    prints cumulative wall per labelled phase to stderr at the end of
+    the run. Zero overhead when disabled."""
+
+    def __init__(self) -> None:
+        self.enabled = os.environ.get("COMPAIRR_TIMING") == "1"
+        self._t = 0.0
+        self._acc: dict[str, float] = {}
+
+    def mark(self) -> None:
+        if self.enabled:
+            import time
+
+            self._t = time.perf_counter()
+
+    def lap(self, label: str) -> None:
+        if self.enabled:
+            import time
+
+            now = time.perf_counter()
+            self._acc[label] = self._acc.get(label, 0.0) + (now - self._t)
+            self._t = now
+
+    def report(self, prefix: str) -> None:
+        if self.enabled and self._acc:
+            import sys
+
+            parts = " ".join(
+                f"{k}={v:.2f}s" for k, v in self._acc.items()
+            )
+            print(f"[timing] {prefix}: {parts}", file=sys.stderr)
+
+
 def _enable_compilation_cache() -> None:
     """Persist compiled executables across processes (TPU compiles via
     the tunnel take minutes; the cache makes them one-time)."""
@@ -1050,6 +1084,8 @@ def find_pairs(
             return with_diagonal(*ph)
 
     on_tpu = jax.default_backend() != "cpu"
+    tm = _PhaseTimer()
+    tm.mark()
     tile, s_extract, lmax, by_vjl, use_indels = _pair_plan(
         db1, db2, spec, on_tpu
     )
@@ -1065,6 +1101,7 @@ def find_pairs(
         b_args, _pa_b, pb_b, orig_b, key_b, npad_b = _sparse_inputs_cached(
             db2, tile, by_vjl, lmax, on_tpu, use_indels
         )
+    tm.lap("inputs")
 
     work = worklist_from_keys(
         key_a, db1.n, key_b, db2.n, delta, tile, tile
@@ -1086,6 +1123,7 @@ def find_pairs(
         streams = [(work[has_eq], False, False)]
     streams = [s for s in streams if len(s[0])]
     w = sum(len(s[0]) for s in streams)
+    tm.lap("worklist")
 
     if logger is not None and progress_prompt is not None:
         logger.progress_init(progress_prompt, max(w, 1))
@@ -1167,6 +1205,7 @@ def find_pairs(
         # match-dense workloads (e.g. huge self-compares at d=0) fill
         # the word buffer long before the tile bound; a bigger buffer
         # costs download bytes but saves whole dispatches
+        tm.lap("count")
         total_matches = sum(int(tc.sum()) for _, tc, _, _ in filtered)
         k_cap = (
             K_EXTRACT_BIG
@@ -1242,6 +1281,7 @@ def find_pairs(
                 di = (di + 1) % n_dev
                 s0 = s1
 
+        tm.lap("extract_dispatch")
         done = 0
         for slab, nreal, (widx, wvals, cnt) in pending:
             cnt = int(cnt)
@@ -1266,10 +1306,17 @@ def find_pairs(
 
     if logger is not None and progress_prompt is not None:
         logger.progress_done()
+    tm.lap("download_unpack")
 
     if out1:
         i1 = np.concatenate(out1)
         i2 = np.concatenate(out2)
-        return with_diagonal(i1, i2, _pair_distances(db1, db2, i1, i2))
+        dist = _pair_distances(db1, db2, i1, i2)
+        tm.lap("distances")
+        res = with_diagonal(i1, i2, dist)
+        tm.lap("diagonal")
+        tm.report(f"find_pairs tiles={w} pairs={len(res[0])}")
+        return res
+    tm.report(f"find_pairs tiles={w} pairs=0")
     z = np.zeros(0, dtype=np.int64)
     return with_diagonal(z, z, z.copy())
