@@ -62,7 +62,7 @@ def cluster(opt: Options, logger: Logger, outfile: IO[str]) -> None:
         # approximate matching never reads the parse-time row hashes
         d.drop_row_hash()
     idx1, idx2, _dist = find_pairs(
-        d, d, spec, logger, "Building network: "
+        d, d, spec, logger, "Building network: ", want_dist=False
     )
 
     # per-seed adjacency in canonical variant order (the order the

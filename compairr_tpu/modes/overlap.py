@@ -308,6 +308,7 @@ def overlap(
     idx1, idx2, dist = find_pairs(
         d1, d2, spec, logger, "Analysing:        ",
         exact_groups=exact_groups, vj_prep=vj_prep,
+        want_dist=pairsfile is not None and opt.distance,
     )
 
     # reference single-thread emission order (seed-major, variant
@@ -346,7 +347,9 @@ def overlap(
             # d>2 brute force emits per seed in set-2 index order
             # (process_trad, overlap.cc:286-359)
             perm = np.lexsort((idx2, idx1))
-        idx1, idx2, dist = idx1[perm], idx2[perm], dist[perm]
+        idx1, idx2 = idx1[perm], idx2[perm]
+        if dist is not None:
+            dist = dist[perm]
 
     scores = pair_scores(
         d1.counts[idx1], d2.counts[idx2], opt.score_int, opt.ignore_counts

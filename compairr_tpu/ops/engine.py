@@ -1023,12 +1023,16 @@ def find_pairs(
     progress_prompt: Optional[str] = None,
     exact_groups: Optional[tuple[np.ndarray, np.ndarray]] = None,
     vj_prep=None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    want_dist: bool = True,
+) -> tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
     """Sparse path: all matching pairs under the spec.
 
     Returns (idx1, idx2, dist) in original indices, unordered.
     exact_groups optionally carries a precomputed exact_match_groups
-    result (d=0 only).
+    result (d=0 only). want_dist=False lets the Pallas tile path skip
+    the host per-pair distance recompute (dist is then None or a
+    byproduct array, depending on route) — only the pairs file with
+    --distance ever reads it.
     """
     if spec.differences == 0:
         return _find_pairs_exact(
@@ -1050,9 +1054,10 @@ def find_pairs(
             diag = np.arange(db1.n, dtype=np.int64)
             i1 = np.concatenate([diag, i1])
             i2 = np.concatenate([diag, i2])
-            dist = np.concatenate(
-                [np.zeros(db1.n, dtype=np.int64), dist]
-            )
+            if dist is not None:
+                dist = np.concatenate(
+                    [np.zeros(db1.n, dtype=np.int64), dist]
+                )
         return i1, i2, dist
 
     # routing: substitution-only sparse runs go through the pigeonhole
@@ -1311,7 +1316,9 @@ def find_pairs(
     if out1:
         i1 = np.concatenate(out1)
         i2 = np.concatenate(out2)
-        dist = _pair_distances(db1, db2, i1, i2)
+        dist = (
+            _pair_distances(db1, db2, i1, i2) if want_dist else None
+        )
         tm.lap("distances")
         res = with_diagonal(i1, i2, dist)
         tm.lap("diagonal")

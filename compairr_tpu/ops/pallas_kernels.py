@@ -38,7 +38,13 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NCLASS = 32  # one-hot channels (alphabet 20/4 + pad, padded for tiling)
+# One-hot channels: residue codes are 0..19 aa / 0..3 nt plus the pad
+# code (db.pad_value = 20/4), so 21 classes cover every operand. The
+# matmul contraction width is NCLASS*lpad lanes, padded to 128-lane
+# tiles by Mosaic: 21*24 = 504 -> 4 lane tiles vs 32*24 = 768 -> 6, a
+# 1.5x MXU-pass cut on every Hamming/prefix/suffix matmul.
+# COMPAIRR_NCLASS overrides for A/B benchmarking.
+NCLASS = int(__import__("os").environ.get("COMPAIRR_NCLASS", "21"))
 
 
 def _onehot(seq_i8, nclass: int):

@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <thread>
 #include <vector>
 
@@ -30,6 +31,45 @@ inline uint64_t mix64(uint64_t x) {
   x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
   x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
   return x ^ (x >> 31);
+}
+
+// MADV_HUGEPAGE cuts first-touch faults 512x when the kernel promotes
+// cheaply, but on some hosts (e.g. microVM kernels with
+// defrag=madvise) every 2 MB fault takes a synchronous-compaction
+// path measured 140x SLOWER than 4 KB faults. Probe once per process:
+// first-touch one hugepage-advised 2 MB region and only keep advising
+// if that is actually fast. COMPAIRR_HUGEPAGES=1/0 skips the probe
+// and forces the choice.
+bool hugepages_ok() {
+  static std::atomic<int> cached{-1};
+  int c = cached.load(std::memory_order_relaxed);
+  if (c >= 0) return c != 0;
+  int ok = 0;
+  const char* env = getenv("COMPAIRR_HUGEPAGES");
+  if (env && *env) {
+    ok = (*env != '0');
+  } else {
+    size_t sz = 2u << 20;  // one hugepage
+    void* p = mmap(nullptr, sz, PROT_READ | PROT_WRITE,
+                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+    if (p != MAP_FAILED) {
+      madvise(p, sz, MADV_HUGEPAGE);
+      timespec t0, t1;
+      clock_gettime(CLOCK_MONOTONIC, &t0);
+      memset(p, 1, sz);
+      clock_gettime(CLOCK_MONOTONIC, &t1);
+      munmap(p, sz);
+      double s = (double)(t1.tv_sec - t0.tv_sec) +
+                 1e-9 * (double)(t1.tv_nsec - t0.tv_nsec);
+      ok = s < 0.010;  // healthy THP first-touch is ~1 ms for 2 MB
+    }
+  }
+  cached.store(ok, std::memory_order_relaxed);
+  return ok != 0;
+}
+
+inline void advise_hugepage(void* mem, size_t bytes) {
+  if (hugepages_ok()) madvise(mem, bytes, MADV_HUGEPAGE);
 }
 
 inline uint64_t hash_row(const int8_t* seq, int64_t row_bytes,
@@ -73,7 +113,7 @@ int64_t group_mt(int64_t n, int n_threads, HashFn&& hf, EqFn&& eq,
   void* mem = mmap(nullptr, bytes, PROT_READ | PROT_WRITE,
                    MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
   if (mem == MAP_FAILED) return -1;
-  madvise(mem, bytes, MADV_HUGEPAGE);
+  advise_hugepage(mem, bytes);
   auto* slots = static_cast<std::atomic<uint64_t>*>(mem);
 
   std::vector<int32_t> leader((size_t)n);
@@ -226,7 +266,7 @@ int64_t group_rows_pre(const int8_t* seqs, int64_t n, int64_t row_bytes,
   uint64_t* slots = (uint64_t*)mmap(nullptr, bytes, PROT_READ | PROT_WRITE,
                                     MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
   if (slots == MAP_FAILED) return -1;
-  madvise(slots, bytes, MADV_HUGEPAGE);
+  advise_hugepage(slots, bytes);
 
   int64_t n_groups = 0;
   for (int64_t i = 0; i < n; ++i) {
@@ -314,7 +354,7 @@ int64_t group_pieces(const int8_t* seqs, int64_t n, int64_t row_bytes,
   uint64_t* slots = (uint64_t*)mmap(nullptr, bytes, PROT_READ | PROT_WRITE,
                                     MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
   if (slots == MAP_FAILED) return -1;
-  madvise(slots, bytes, MADV_HUGEPAGE);
+  advise_hugepage(slots, bytes);
 
   int64_t n_groups = 0;
   for (int64_t i = 0; i < n; ++i) {
@@ -403,7 +443,7 @@ int64_t variant_join(const int8_t* small_seqs, int64_t ns,
       nullptr, bytes * 2, PROT_READ | PROT_WRITE,
       MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
   if (slots == MAP_FAILED) return -1;
-  madvise(slots, bytes * 2, MADV_HUGEPAGE);
+  advise_hugepage(slots, bytes * 2);
   uint64_t* rep_slots = slots + size;
 
   int32_t* head = (int32_t*)malloc((size_t)nb * 2 * sizeof(int32_t));
