@@ -338,7 +338,10 @@ def _find_pairs_pigeonhole(
     does not grow with match density.
     """
     from ..core.exact import group_rows
+    from .engine import _PhaseTimer
 
+    tm = _PhaseTimer()
+    tm.mark()
     pieces = spec.differences + 1
     n1, n2 = db1.n, db2.n
     same = db2 is db1
@@ -380,6 +383,7 @@ def _find_pairs_pigeonhole(
         # fused native pass reads the piece ranges in place; the numpy
         # fallback materialises gathered piece rows first
         nat = group_pieces_native(g_seqs, g_lens, metas, p, pieces)
+        tm.lap(f"group_p{p}")
         if nat is not None:
             g, _ng = nat
         else:
@@ -414,12 +418,14 @@ def _find_pairs_pigeonhole(
             keep = i1 != i2
             i1, i2 = i1[keep], i2[keep]
         cand_keys.append(i1 * np.int64(n2) + i2)
+        tm.lap(f"join_p{p}")
         if started:
             logger.progress_update(p + 1)
 
     keys = np.unique(np.concatenate(cand_keys))
     i1 = keys // n2
     i2 = keys - i1 * n2
+    tm.lap("unique")
 
     # exact verification: genes/length already agree by construction,
     # only the Hamming bound needs checking
@@ -432,6 +438,8 @@ def _find_pairs_pigeonhole(
         ).sum(axis=1)
     ok = dist <= spec.differences
     i1, i2, dist = i1[ok], i2[ok], dist[ok]
+    tm.lap("verify")
+    tm.report("pigeonhole")
 
     if started:
         logger.progress_update(pieces + 1)
