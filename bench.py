@@ -107,6 +107,59 @@ def synth_arrays(n, n_reps, n_v, n_j, seed):
     )
 
 
+def _headline_db(n):
+    """The headline's planted self-compare set, cached on disk: the
+    24.2M-row generation costs minutes of RNG + page faults that are
+    pure setup (the measured wall starts after it), so repeat bench
+    runs load the arrays instead of regenerating them."""
+    from compairr_tpu.core.db import GeneTables, SeqDB
+
+    cache = f"/tmp/compairr_bench_headline_{n}_v1.npz"
+    d1 = None
+    if os.path.exists(cache):
+        try:
+            z = np.load(cache, allow_pickle=False)
+            arrs = {k: z[k] for k in z.files}
+            genes = GeneTables()
+            for k in range(50):
+                genes.intern_v(f"TRBV{k}")
+            for k in range(13):
+                genes.intern_j(f"TRBJ{k}")
+            lengths = arrs["lengths"]
+            d1 = SeqDB(
+                nucleotides=False,
+                seqs=arrs["seqs"],
+                lengths=lengths,
+                counts=arrs["counts"],
+                rep_no=arrs["rep_no"],
+                v_no=arrs["v_no"],
+                j_no=arrs["j_no"],
+                sequence_ids=[None] * n,
+                keep=[None] * n,
+                repertoire_ids=[f"R{r:03d}" for r in range(120)],
+                genes=genes,
+                residues_count=int(lengths.sum()),
+                total_dup_count=n,
+                shortest=int(lengths.min()),
+                longest=int(arrs["seqs"].shape[1]),
+            )
+        except Exception:
+            d1 = None
+    if d1 is None:
+        d1 = synth_arrays(n, n_reps=120, n_v=50, n_j=13, seed=1)
+        _plant_near_dups(d1, d1, 0.01, seed=7)
+        try:
+            np.savez(
+                cache + ".tmp.npz",
+                seqs=d1.seqs, lengths=d1.lengths, counts=d1.counts,
+                rep_no=d1.rep_no, v_no=d1.v_no, j_no=d1.j_no,
+            )
+            os.replace(cache + ".tmp.npz", cache)
+        except Exception:
+            pass
+    return d1
+
+
 def _plant_near_dups(d_src, d_dst, frac, seed):
     """Copy ~frac of d_src's rows into d_dst with one substitution so
     the run produces real matches."""
@@ -131,8 +184,7 @@ def _headline(n, on_tpu):
     from compairr_tpu.core.score import pair_scores
     from compairr_tpu.ops.engine import MatchSpec, find_pairs
 
-    d1 = synth_arrays(n, n_reps=120, n_v=50, n_j=13, seed=1)
-    _plant_near_dups(d1, d1, 0.01, seed=7)
+    d1 = _headline_db(n)
 
     spec = MatchSpec(differences=2, indels=False, ignore_genes=False)
     r = d1.repertoire_count
@@ -249,6 +301,9 @@ def _probe_backend(timeout_s: int = 180) -> bool:
 def main():
     import jax
 
+    from compairr_tpu.utils.mem import retain_heap
+
+    retain_heap()
     _ensure_native()
     if not _probe_backend():
         # TPU tunnel down: fall back to CPU so the bench still records

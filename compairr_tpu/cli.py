@@ -443,6 +443,10 @@ def main(argv: Optional[list[str]] = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
 
+    from .utils.mem import retain_heap
+
+    retain_heap()
+
     opt = args_init(argv)
 
     from .config import set_runtime_threads

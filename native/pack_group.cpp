@@ -18,6 +18,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <ctime>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -72,6 +73,72 @@ inline void advise_hugepage(void* mem, size_t bytes) {
   if (hugepages_ok()) madvise(mem, bytes, MADV_HUGEPAGE);
 }
 
+// Process-lifetime slot-table arena. Every grouping pass needs a
+// zeroed power-of-2 table sized ~1.5x its row count; mmap/munmap per
+// call re-faults hundreds of MB of anonymous pages each pass, which
+// on ballooned-VM hosts intermittently runs ~100x slower than memory
+// speed. Keeping the largest table mapped and re-zeroing it on reuse
+// (rewrite-speed memset) makes every pass after the first immune to
+// that pathology. Peak RSS is unchanged: the retained arena is the
+// same table the next pass would have mapped anyway.
+// COMPAIRR_ARENA=0 restores per-call mmap/munmap.
+struct Arena {
+  uint64_t* slots = nullptr;  // zeroed to `bytes` on acquire
+  size_t bytes = 0;           // requested size
+  size_t cap = 0;             // mapped size (>= bytes)
+};
+
+std::mutex g_arena_mu;
+void* g_arena_p = nullptr;
+size_t g_arena_cap = 0;
+
+inline bool arena_enabled() {
+  const char* env = getenv("COMPAIRR_ARENA");
+  return !(env && *env == '0');
+}
+
+Arena arena_acquire(size_t bytes) {
+  Arena a;
+  a.bytes = bytes;
+  if (arena_enabled()) {
+    std::lock_guard<std::mutex> lk(g_arena_mu);
+    if (g_arena_p && g_arena_cap >= bytes) {
+      a.slots = (uint64_t*)g_arena_p;
+      a.cap = g_arena_cap;
+      g_arena_p = nullptr;
+      g_arena_cap = 0;
+    }
+  }
+  if (a.slots) {
+    memset(a.slots, 0, bytes);  // reused pages re-zero at memory speed
+    return a;
+  }
+  void* p = mmap(nullptr, bytes, PROT_READ | PROT_WRITE,
+                 MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+  if (p == MAP_FAILED) return a;  // slots == nullptr signals failure
+  advise_hugepage(p, bytes);
+  a.slots = (uint64_t*)p;
+  a.cap = bytes;
+  return a;
+}
+
+void arena_release(Arena& a) {
+  if (!a.slots) return;
+  void* drop = a.slots;
+  size_t drop_cap = a.cap;
+  if (arena_enabled()) {
+    std::lock_guard<std::mutex> lk(g_arena_mu);
+    if (g_arena_cap < a.cap) {
+      drop = g_arena_p;
+      drop_cap = g_arena_cap;
+      g_arena_p = a.slots;
+      g_arena_cap = a.cap;
+    }
+  }
+  if (drop) munmap(drop, drop_cap);
+  a.slots = nullptr;
+}
+
 inline uint64_t hash_row(const int8_t* seq, int64_t row_bytes,
                          const int32_t* meta, int32_t m) {
   uint64_t h = 0x2545F4914F6CDD1DULL;
@@ -110,11 +177,9 @@ int64_t group_mt(int64_t n, int n_threads, HashFn&& hf, EqFn&& eq,
   while ((int64_t)size < n || (double)n > 0.7 * (double)size) size <<= 1;
   const uint64_t mask = size - 1;
   size_t bytes = (size_t)size * sizeof(uint64_t);
-  void* mem = mmap(nullptr, bytes, PROT_READ | PROT_WRITE,
-                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
-  if (mem == MAP_FAILED) return -1;
-  advise_hugepage(mem, bytes);
-  auto* slots = static_cast<std::atomic<uint64_t>*>(mem);
+  Arena arena = arena_acquire(bytes);
+  if (!arena.slots) return -1;
+  auto* slots = reinterpret_cast<std::atomic<uint64_t>*>(arena.slots);
 
   std::vector<int32_t> leader((size_t)n);
   auto worker = [&](int64_t lo, int64_t hi) {
@@ -155,7 +220,7 @@ int64_t group_mt(int64_t n, int n_threads, HashFn&& hf, EqFn&& eq,
     worker(0, n / T);
     for (auto& th : threads) th.join();
   }
-  munmap(mem, bytes);
+  arena_release(arena);
 
   // renumber by global first occurrence (leaders are self-leaders)
   std::vector<int32_t> gid((size_t)n, -1);
@@ -263,10 +328,9 @@ int64_t group_rows_pre(const int8_t* seqs, int64_t n, int64_t row_bytes,
   // random over the table, and at Keck scale the table far exceeds
   // what 4 KiB TLB entries cover.
   size_t bytes = (size_t)size * sizeof(uint64_t);
-  uint64_t* slots = (uint64_t*)mmap(nullptr, bytes, PROT_READ | PROT_WRITE,
-                                    MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
-  if (slots == MAP_FAILED) return -1;
-  advise_hugepage(slots, bytes);
+  Arena arena = arena_acquire(bytes);
+  if (!arena.slots) return -1;
+  uint64_t* slots = arena.slots;
 
   int64_t n_groups = 0;
   for (int64_t i = 0; i < n; ++i) {
@@ -302,7 +366,7 @@ int64_t group_rows_pre(const int8_t* seqs, int64_t n, int64_t row_bytes,
     }
   }
 
-  munmap(slots, bytes);
+  arena_release(arena);
   return n_groups;
 }
 
@@ -351,10 +415,9 @@ int64_t group_pieces(const int8_t* seqs, int64_t n, int64_t row_bytes,
   while ((int64_t)size < n || (double)n > 0.7 * (double)size) size <<= 1;
   const uint64_t mask = size - 1;
   size_t bytes = (size_t)size * sizeof(uint64_t);
-  uint64_t* slots = (uint64_t*)mmap(nullptr, bytes, PROT_READ | PROT_WRITE,
-                                    MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
-  if (slots == MAP_FAILED) return -1;
-  advise_hugepage(slots, bytes);
+  Arena arena = arena_acquire(bytes);
+  if (!arena.slots) return -1;
+  uint64_t* slots = arena.slots;
 
   int64_t n_groups = 0;
   for (int64_t i = 0; i < n; ++i) {
@@ -396,7 +459,7 @@ int64_t group_pieces(const int8_t* seqs, int64_t n, int64_t row_bytes,
     }
   }
 
-  munmap(slots, bytes);
+  arena_release(arena);
   return n_groups;
 }
 
@@ -439,16 +502,14 @@ int64_t variant_join(const int8_t* small_seqs, int64_t ns,
   // each slot stores the packed pair itself, so membership tests need
   // no verification reads. Its count is the big set's duplicate
   // warning (n rows - distinct (sequence,genes,repertoire)).
-  uint64_t* slots = (uint64_t*)mmap(
-      nullptr, bytes * 2, PROT_READ | PROT_WRITE,
-      MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
-  if (slots == MAP_FAILED) return -1;
-  advise_hugepage(slots, bytes * 2);
+  Arena arena = arena_acquire(bytes * 2);
+  if (!arena.slots) return -1;
+  uint64_t* slots = arena.slots;
   uint64_t* rep_slots = slots + size;
 
   int32_t* head = (int32_t*)malloc((size_t)nb * 2 * sizeof(int32_t));
   if (!head) {
-    munmap(slots, bytes * 2);
+    arena_release(arena);
     return -1;
   }
   int32_t* nxt = head + nb;
@@ -568,7 +629,7 @@ int64_t variant_join(const int8_t* small_seqs, int64_t ns,
     free(vh);
     free(scratch);
     free(head);
-    munmap(slots, bytes * 2);
+    arena_release(arena);
     return -1;
   }
   int64_t n_pairs = 0;
@@ -634,14 +695,14 @@ int64_t variant_join(const int8_t* small_seqs, int64_t ns,
   free(vh);
   free(scratch);
   free(head);
-  munmap(slots, bytes * 2);
+  arena_release(arena);
   return n_pairs;
 
 overflow:
   free(vh);
   free(scratch);
   free(head);
-  munmap(slots, bytes * 2);
+  arena_release(arena);
   return -2;
 }
 
