@@ -145,7 +145,11 @@ def _headline_db(n):
             )
         except Exception:
             d1 = None
-    if d1 is None:
+    if d1 is not None:
+        sys.stderr.write(
+            f"bench: dataset cache hit ({cache})\n"
+        )
+    else:
         d1 = synth_arrays(n, n_reps=120, n_v=50, n_j=13, seed=1)
         _plant_near_dups(d1, d1, 0.01, seed=7)
         try:
@@ -184,7 +188,11 @@ def _headline(n, on_tpu):
     from compairr_tpu.core.score import pair_scores
     from compairr_tpu.ops.engine import MatchSpec, find_pairs
 
+    t0 = time.perf_counter()
     d1 = _headline_db(n)
+    sys.stderr.write(
+        f"bench: dataset ready {time.perf_counter() - t0:.0f}s\n"
+    )
 
     spec = MatchSpec(differences=2, indels=False, ignore_genes=False)
     r = d1.repertoire_count
@@ -321,7 +329,12 @@ def main():
     )
     tile = int(os.environ.get("COMPAIRR_BENCH_TILE", 256))
 
+    t0 = time.perf_counter()
     wall, checksum, npairs = _headline(n, on_tpu)
+    sys.stderr.write(
+        f"bench: headline section {time.perf_counter() - t0:.0f}s "
+        f"(best iter {wall:.0f}s)\n"
+    )
     pairs = float(n) * float(n)
     rate = pairs / wall
 
@@ -338,7 +351,11 @@ def main():
         "matrix_checksum": checksum,
     }
     if on_tpu:
+        t0 = time.perf_counter()
         result.update(_kernel_metrics(tile))
+        sys.stderr.write(
+            f"bench: kernel section {time.perf_counter() - t0:.0f}s\n"
+        )
     print(json.dumps(result))
 
 

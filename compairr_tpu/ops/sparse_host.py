@@ -110,29 +110,46 @@ def _join_groups(
     a singleton group's only pair is its self pair, so the huge
     mostly-diagonal singleton emission — ~24M of ~24.5M pairs at Keck
     scale, ~1.2 GB of transient int64 arrays per grouping pass — is
-    skipped entirely."""
+    skipped entirely, and only rows in multi-member groups (~1% at
+    Keck scale) are argsorted; the stable subset sort preserves the
+    full sort's within-group member order, so the emitted pair order
+    is unchanged."""
     ng = int(max(ga.max(initial=-1), gb.max(initial=-1))) + 1
-    order2 = np.argsort(gb, kind="stable")
-    gcnt = np.bincount(gb, minlength=ng)
-    gstart = np.cumsum(gcnt) - gcnt
-    starts = gstart[ga]
-    cnt = gcnt[ga]
-
-    one = cnt == 1
-    multi_rows = np.nonzero(~one)[0]
+    i1_parts: list[np.ndarray] = []
+    i2_parts: list[np.ndarray] = []
     if drop_singletons:
-        i1_parts: list[np.ndarray] = []
-        i2_parts: list[np.ndarray] = []
+        gcnt_all = np.bincount(gb, minlength=ng)
+        rows_b = np.nonzero(gcnt_all[gb] > 1)[0]
+        sub = gb[rows_b]
+        order2 = rows_b[np.argsort(sub, kind="stable")]
+        gcnt = np.bincount(sub, minlength=ng)
+        gstart = np.cumsum(gcnt) - gcnt
+        if ga is gb:
+            multi_rows = rows_b
+            mg = sub
+        else:
+            multi_rows = np.nonzero(gcnt[ga] > 1)[0]
+            mg = ga[multi_rows]
+        mcnt = gcnt[mg]
+        starts_m = gstart[mg]
     else:
-        i1_parts = [np.nonzero(one)[0].astype(np.int64)]
-        i2_parts = [order2[starts[one]]]
-    if len(multi_rows):
+        order2 = np.argsort(gb, kind="stable")
+        gcnt = np.bincount(gb, minlength=ng)
+        gstart = np.cumsum(gcnt) - gcnt
+        starts = gstart[ga]
+        cnt = gcnt[ga]
+        one = cnt == 1
+        multi_rows = np.nonzero(cnt > 1)[0]
         mcnt = cnt[multi_rows]
+        starts_m = starts[multi_rows]
+        i1_parts.append(np.nonzero(one)[0].astype(np.int64))
+        i2_parts.append(order2[starts[one]])
+    if len(multi_rows):
         total = int(mcnt.sum())
         i1_parts.append(np.repeat(multi_rows, mcnt).astype(np.int64))
         offs = np.cumsum(mcnt) - mcnt
         ramp = np.arange(total, dtype=np.int64) - np.repeat(offs, mcnt)
-        i2_parts.append(order2[np.repeat(starts[multi_rows], mcnt) + ramp])
+        i2_parts.append(order2[np.repeat(starts_m, mcnt) + ramp])
     if not i1_parts:
         z = np.zeros(0, dtype=np.int64)
         return z, z.copy()
