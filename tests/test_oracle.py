@@ -274,3 +274,41 @@ def test_classify_worklist_exact():
             )
             assert has_eq[t] == want_eq, (trial, t)
             assert has_pm[t] == want_pm, (trial, t)
+
+
+def test_join_groups_order_oracle():
+    """_join_groups must emit the exact pair order the downstream
+    paths were verified against: non-drop emits singleton-group rows
+    first then multi-group rows, both in ascending set-1 row order
+    with ascending set-2 members within each row; drop_singletons
+    emits only multi-group rows in the same order (the subset argsort
+    optimisation must not change it)."""
+    from compairr_tpu.ops.sparse_host import _join_groups
+
+    rng = np.random.default_rng(0)
+    for trial in range(120):
+        n1 = int(rng.integers(0, 40))
+        n2 = int(rng.integers(0, 40))
+        ng = int(rng.integers(1, 12))
+        ga = rng.integers(0, ng, n1)
+        gb = rng.integers(0, ng, n2)
+        same = bool(rng.integers(0, 2)) and n1 == n2
+        if same:
+            gb = ga
+        for ds in (False, True):
+            i1, i2 = _join_groups(ga, gb, drop_singletons=ds)
+            gcnt = np.bincount(gb, minlength=ng + 1)
+            o1, o2 = [], []
+            if ds:
+                rows = [a for a in range(n1) if gcnt[ga[a]] > 1]
+            else:
+                rows = [a for a in range(n1) if gcnt[ga[a]] == 1] + [
+                    a for a in range(n1) if gcnt[ga[a]] > 1
+                ]
+            for a in rows:
+                for b in range(n2):
+                    if gb[b] == ga[a]:
+                        o1.append(a)
+                        o2.append(b)
+            assert np.array_equal(i1, np.array(o1, np.int64)), (trial, ds)
+            assert np.array_equal(i2, np.array(o2, np.int64)), (trial, ds)
