@@ -332,37 +332,55 @@ int64_t group_rows_pre(const int8_t* seqs, int64_t n, int64_t row_bytes,
   if (!arena.slots) return -1;
   uint64_t* slots = arena.slots;
 
+  // the insert loop is bound by one random slot access per row;
+  // hashing a batch ahead and prefetching each home slot keeps many
+  // of those misses in flight instead of serialising them (same
+  // pattern as variant_join's build, measured 2.3x there)
   int64_t n_groups = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    const int8_t* row = seqs + i * row_bytes;
-    const int32_t* me = meta + i * m;
-    uint64_t h;
-    if (prehash) {
-      h = mix64(prehash[i]);
-      for (int32_t c = 0; c < m; ++c)
-        h = mix64(h ^ (uint64_t)(uint32_t)me[c]);
-    } else {
-      h = hash_row(row, row_bytes, me, m);
-    }
-    const uint64_t tag = h & 0xffffffff00000000ULL;
-    uint64_t j = h & mask;
-    for (;;) {
-      uint64_t s = slots[j];
-      if (s == 0) {
-        slots[j] = tag | (uint64_t)(uint32_t)(i + 1);
-        group_out[i] = n_groups++;
-        break;
+  constexpr int64_t kBatch = 16;
+  uint64_t hbuf[kBatch];
+  for (int64_t base = 0; base < n; base += kBatch) {
+    const int64_t bn = base + kBatch <= n ? kBatch : n - base;
+    for (int64_t k = 0; k < bn; ++k) {
+      const int64_t i = base + k;
+      uint64_t h;
+      if (prehash) {
+        const int32_t* me = meta + i * m;
+        h = mix64(prehash[i]);
+        for (int32_t c = 0; c < m; ++c)
+          h = mix64(h ^ (uint64_t)(uint32_t)me[c]);
+      } else {
+        h = hash_row(seqs + i * row_bytes, row_bytes, meta + i * m, m);
       }
-      if ((s & 0xffffffff00000000ULL) == tag) {
-        int64_t other = (int64_t)(uint32_t)s - 1;
-        if (memcmp(seqs + other * row_bytes, row, (size_t)row_bytes) == 0 &&
-            (m == 0 || memcmp(meta + other * m, me,
-                              (size_t)m * sizeof(int32_t)) == 0)) {
-          group_out[i] = group_out[other];
+      hbuf[k] = h;
+      __builtin_prefetch(&slots[h & mask], 1);
+    }
+    for (int64_t k = 0; k < bn; ++k) {
+      const int64_t i = base + k;
+      const int8_t* row = seqs + i * row_bytes;
+      const int32_t* me = meta + i * m;
+      const uint64_t h = hbuf[k];
+      const uint64_t tag = h & 0xffffffff00000000ULL;
+      uint64_t j = h & mask;
+      for (;;) {
+        uint64_t s = slots[j];
+        if (s == 0) {
+          slots[j] = tag | (uint64_t)(uint32_t)(i + 1);
+          group_out[i] = n_groups++;
           break;
         }
+        if ((s & 0xffffffff00000000ULL) == tag) {
+          int64_t other = (int64_t)(uint32_t)s - 1;
+          if (memcmp(seqs + other * row_bytes, row,
+                     (size_t)row_bytes) == 0 &&
+              (m == 0 || memcmp(meta + other * m, me,
+                                (size_t)m * sizeof(int32_t)) == 0)) {
+            group_out[i] = group_out[other];
+            break;
+          }
+        }
+        j = (j + 1) & mask;
       }
-      j = (j + 1) & mask;
     }
   }
 
@@ -419,20 +437,37 @@ int64_t group_pieces(const int8_t* seqs, int64_t n, int64_t row_bytes,
   if (!arena.slots) return -1;
   uint64_t* slots = arena.slots;
 
+  // batched hashing + home-slot prefetch, as in group_rows_pre
   int64_t n_groups = 0;
-  for (int64_t i = 0; i < n; ++i) {
+  constexpr int64_t kBatch = 16;
+  uint64_t hbuf[kBatch];
+  for (int64_t base = 0; base < n; base += kBatch) {
+    const int64_t bn = base + kBatch <= n ? kBatch : n - base;
+    for (int64_t k = 0; k < bn; ++k) {
+      const int64_t i = base + k;
+      int64_t len = lengths[i];
+      int64_t s = (len * piece) / pieces;
+      int64_t e = (len * (piece + 1)) / pieces;
+      const int8_t* pc = seqs + i * row_bytes + s;
+      const int32_t* me = meta + i * m;
+      uint64_t h = 1469598103934665603ULL;
+      for (int64_t q = s; q < e; ++q)
+        h = (h ^ (uint64_t)(uint8_t)*pc++) * 1099511628211ULL;
+      h = mix64(h);
+      for (int32_t c = 0; c < m; ++c)
+        h = mix64(h ^ (uint64_t)(uint32_t)me[c]);
+      hbuf[k] = h;
+      __builtin_prefetch(&slots[h & mask], 1);
+    }
+    for (int64_t k = 0; k < bn; ++k) {
+    const int64_t i = base + k;
     int64_t len = lengths[i];
     int64_t s = (len * piece) / pieces;
     int64_t e = (len * (piece + 1)) / pieces;
     const int8_t* pc = seqs + i * row_bytes + s;
     int64_t plen = e - s;
     const int32_t* me = meta + i * m;
-    uint64_t h = 1469598103934665603ULL;
-    for (int64_t k = 0; k < plen; ++k)
-      h = (h ^ (uint64_t)(uint8_t)pc[k]) * 1099511628211ULL;
-    h = mix64(h);
-    for (int32_t c = 0; c < m; ++c)
-      h = mix64(h ^ (uint64_t)(uint32_t)me[c]);
+    const uint64_t h = hbuf[k];
     const uint64_t tag = h & 0xffffffff00000000ULL;
     uint64_t j = h & mask;
     for (;;) {
@@ -456,6 +491,7 @@ int64_t group_pieces(const int8_t* seqs, int64_t n, int64_t row_bytes,
         }
       }
       j = (j + 1) & mask;
+    }
     }
   }
 
