@@ -305,67 +305,107 @@ def overlap(
     if pairsfile is not None:
         _write_pairs_header(opt, pairsfile)
 
-    idx1, idx2, dist = find_pairs(
-        d1, d2, spec, logger, "Analysing:        ",
-        exact_groups=exact_groups, vj_prep=vj_prep,
-        want_dist=pairsfile is not None and opt.distance,
-    )
-
-    # reference single-thread emission order (seed-major, variant
-    # order) is required for the pairs file and whenever float64
-    # accumulation is order-sensitive. Integer-valued scores (product,
-    # min, max, MH, -f; mean is dyadic) sum exactly in f64 while the
-    # largest possible cell stays below 2^53, making the matrix
-    # independent of emission order — the sort (a 7-key lexsort over
-    # every matched pair) is skipped then.
-    from ..constants import SCORE_RATIO
-
-    if opt.ignore_counts:
-        max_term = 1.0
-    elif opt.score_int == SCORE_RATIO:
-        max_term = None  # a/b sums are order-sensitive
-    else:
-        c1max = float(d1.counts.max()) if d1.n else 0.0
-        c2max = float(d2.counts.max()) if d2.n else 0.0
-        # mean terms are half-integers (spacing 0.5, exact below
-        # 2^52); covered by the 2^52 threshold plus the mean term's
-        # own bound, which can exceed c1max*c2max when a count is 0
-        max_term = max(c1max * c2max, (c1max + c2max) / 2)
-    order_free = (
-        max_term is not None
-        and max_term * float(max(len(idx1), 1)) < float(2**52)
-    )
-    if pairsfile is not None or not order_free:
-        if opt.differences <= MAXDIFF_HASH:
-            lmax = max(d1.longest, d2.longest, 1)
-            d1.repad(lmax)
-            d2.repad(lmax)
-            perm = sort_pairs_reference_order(
-                d1.seqs, d1.lengths, d2.seqs, d2.lengths, idx1, idx2
-            )
-        else:
-            # d>2 brute force emits per seed in set-2 index order
-            # (process_trad, overlap.cc:286-359)
-            perm = np.lexsort((idx2, idx1))
-        idx1, idx2 = idx1[perm], idx2[perm]
-        if dist is not None:
-            dist = dist[perm]
-
-    scores = pair_scores(
-        d1.counts[idx1], d2.counts[idx2], opt.score_int, opt.ignore_counts
-    )
+    # COMPAIRR_ENGINE=dense routes matrix runs through the dense f32
+    # throughput engine as a product surface: one device -> dense_matrix
+    # (Pallas MXU grid on TPU), several -> shard_map + psum over the
+    # device mesh (parallel/mesh.dense_matrix_sharded). Integer score
+    # modes stay exact under the f32 guard (engine._plan_exact_chunks);
+    # ratio scores are f32-rounded here — the sparse default remains
+    # the byte-exact path. Pairs files and existence mode need the
+    # matched pair list and stay on the sparse path by construction.
+    use_dense = _os.environ.get("COMPAIRR_ENGINE", "").lower() == "dense"
+    if use_dense and (
+        not opt.matrix or pairsfile is not None or opt.no_matrix
+    ):
+        fatal(
+            "COMPAIRR_ENGINE=dense supports only matrix (-m) runs "
+            "without a pairs file"
+        )
 
     matrix: Optional[np.ndarray] = None
-    if not opt.no_matrix:
-        if opt.matrix:
-            matrix = np.zeros((r1, r2), dtype=np.float64)
-            np.add.at(matrix, (d1.rep_no[idx1], d2.rep_no[idx2]), scores)
-        else:
-            matrix = np.zeros((n1, r2), dtype=np.float64)
-            np.add.at(matrix, (idx1, d2.rep_no[idx2]), scores)
+    if use_dense:
+        from ..ops.engine import _sparse_devices, dense_matrix
 
-    if pairsfile is not None:
-        _write_pairs(opt, pairsfile, d1, d2, idx1, idx2, dist)
+        devs = _sparse_devices()
+        if len(devs) > 1:
+            from ..parallel.mesh import dense_matrix_sharded
+
+            logger.progress_init("Analysing:        ", 1)
+            matrix = dense_matrix_sharded(
+                d1, d2, spec, opt.score_int, opt.ignore_counts,
+                devices=devs,
+            )
+            logger.progress_update(1)
+            logger.progress_done()
+        else:
+            matrix = dense_matrix(
+                d1, d2, spec, opt.score_int, opt.ignore_counts,
+                logger, "Analysing:        ",
+            )
+    else:
+        idx1, idx2, dist = find_pairs(
+            d1, d2, spec, logger, "Analysing:        ",
+            exact_groups=exact_groups, vj_prep=vj_prep,
+            want_dist=pairsfile is not None and opt.distance,
+        )
+
+        # reference single-thread emission order (seed-major, variant
+        # order) is required for the pairs file and whenever float64
+        # accumulation is order-sensitive. Integer-valued scores
+        # (product, min, max, MH, -f; mean is dyadic) sum exactly in
+        # f64 while the largest possible cell stays below 2^53, making
+        # the matrix independent of emission order — the sort (a 7-key
+        # lexsort over every matched pair) is skipped then.
+        from ..constants import SCORE_RATIO
+
+        if opt.ignore_counts:
+            max_term = 1.0
+        elif opt.score_int == SCORE_RATIO:
+            max_term = None  # a/b sums are order-sensitive
+        else:
+            c1max = float(d1.counts.max()) if d1.n else 0.0
+            c2max = float(d2.counts.max()) if d2.n else 0.0
+            # mean terms are half-integers (spacing 0.5, exact below
+            # 2^52); covered by the 2^52 threshold plus the mean term's
+            # own bound, which can exceed c1max*c2max when a count is 0
+            max_term = max(c1max * c2max, (c1max + c2max) / 2)
+        order_free = (
+            max_term is not None
+            and max_term * float(max(len(idx1), 1)) < float(2**52)
+        )
+        if pairsfile is not None or not order_free:
+            if opt.differences <= MAXDIFF_HASH:
+                lmax = max(d1.longest, d2.longest, 1)
+                d1.repad(lmax)
+                d2.repad(lmax)
+                perm = sort_pairs_reference_order(
+                    d1.seqs, d1.lengths, d2.seqs, d2.lengths, idx1, idx2
+                )
+            else:
+                # d>2 brute force emits per seed in set-2 index order
+                # (process_trad, overlap.cc:286-359)
+                perm = np.lexsort((idx2, idx1))
+            idx1, idx2 = idx1[perm], idx2[perm]
+            if dist is not None:
+                dist = dist[perm]
+
+        scores = pair_scores(
+            d1.counts[idx1], d2.counts[idx2], opt.score_int,
+            opt.ignore_counts,
+        )
+
+        if not opt.no_matrix:
+            if opt.matrix:
+                matrix = np.zeros((r1, r2), dtype=np.float64)
+                np.add.at(
+                    matrix, (d1.rep_no[idx1], d2.rep_no[idx2]), scores
+                )
+            else:
+                matrix = np.zeros((n1, r2), dtype=np.float64)
+                np.add.at(matrix, (idx1, d2.rep_no[idx2]), scores)
+
+        if pairsfile is not None:
+            _write_pairs(opt, pairsfile, d1, d2, idx1, idx2, dist)
 
     # ---- write results (overlap.cc:944-1039) ----
     if not opt.no_matrix:

@@ -52,6 +52,19 @@ from .sparse_host import (  # noqa: F401  (exact_match_groups re-exported)
 TILE_M = 128
 TILE_N = 128
 
+# Route probe: find_pairs records which execution route resolved the
+# most recent call ("exact", "variant_join", "pigeonhole",
+# "pigeonhole_indel", "tiles"). Diagnostic only — tests/test_routing.py
+# pins the routing thresholds with it so a refactor can't silently flip
+# a representative workload onto a slower path (the paths themselves
+# are pair-identical, asserted in tests/test_oracle.py).
+LAST_ROUTE: Optional[str] = None
+
+
+def _note_route(name: str) -> None:
+    global LAST_ROUTE
+    LAST_ROUTE = name
+
 
 class _PhaseTimer:
     """Opt-in coarse phase timing for find_pairs (COMPAIRR_TIMING=1):
@@ -573,18 +586,243 @@ def dense_tile_contrib(
     oh2 = (
         ib[:, None] == lax.broadcasted_iota(jnp.int32, (1, r2p), 1)
     ).astype(jnp.float32)
+    # Precision.HIGHEST: TPU matmuls truncate f32 operands to bf16 by
+    # default, rounding count products (up to 2^24) — exact 6-pass
+    # emulation keeps the score reduction integer-exact.
     part = lax.dot_general(
         oh1, sc, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )
     return lax.dot_general(
         part, oh2, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+# --------------------------------------------------------------------
+# f32 exactness guard for the dense paths
+#
+# The dense accumulators are float32 on device: integer-valued scores
+# sum exactly only while every intermediate stays below 2^24. The
+# guard bounds each worklist tile's possible contribution to any one
+# [r1, r2] cell using per-row-block, per-repertoire count statistics,
+# splits the worklist into chunks whose partial matrices provably stay
+# exact, and sums the partials in float64 on host. Tiles whose OWN
+# bound crosses the limit (same-repertoire duplicate blocks with large
+# counts) are computed exactly on host instead. Non-integer score
+# modes (ratio) are inherently inexact in f32 and skip the guard.
+# --------------------------------------------------------------------
+
+_F32_EXACT_LIMIT = float(1 << 24)
+
+
+def _block_rep_stats(
+    rep_sorted: np.ndarray,
+    cnt_sorted: np.ndarray,
+    n: int,
+    tile: int,
+    nblocks_pad: int,
+    nrep: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per row-block maxima over repertoires of (row count, duplicate
+    count sum), on the packed (sorted) row order. A tile (rb, cb)'s
+    contribution to any single matrix cell is bounded by products of
+    these (see _plan_exact_chunks)."""
+    m = np.zeros(nblocks_pad, dtype=np.float64)
+    s = np.zeros(nblocks_pad, dtype=np.float64)
+    if n == 0:
+        return m, s
+    blk = np.arange(n, dtype=np.int64) // tile
+    idx = blk * nrep + rep_sorted[:n].astype(np.int64)
+    size = (int(blk[-1]) + 1) * nrep
+    cm = np.bincount(idx, minlength=size).astype(np.float64)
+    cs = np.bincount(
+        idx, weights=cnt_sorted[:n].astype(np.float64), minlength=size
+    )
+    cm = cm.reshape(-1, nrep)
+    cs = cs.reshape(-1, nrep)
+    m[: cm.shape[0]] = cm.max(axis=1)
+    s[: cs.shape[0]] = cs.max(axis=1)
+    return m, s
+
+
+def _tile_exact_bounds(
+    work: np.ndarray,
+    stats_a: tuple[np.ndarray, np.ndarray],
+    stats_b: tuple[np.ndarray, np.ndarray],
+    tile_m: int,
+    tile_n: int,
+    score_int: int,
+    ignore_counts: bool,
+) -> Optional[np.ndarray]:
+    """Per-tile upper bound on any single matrix cell's f32
+    contribution (see _plan_exact_chunks); None for score modes whose
+    values are inherently non-integer (ratio)."""
+    from ..constants import SCORE_MH, SCORE_PRODUCT, SCORE_RATIO
+
+    ma, sa = stats_a
+    mb, sb = stats_b
+    rb = work[:, 0] // tile_m
+    cb = work[:, 1] // tile_n
+    if ignore_counts:
+        return ma[rb] * mb[cb]
+    if score_int in (SCORE_PRODUCT, SCORE_MH):
+        return sa[rb] * sb[cb]
+    if score_int == SCORE_RATIO:
+        return None
+    return sa[rb] * mb[cb] + sb[cb] * ma[rb]
+
+
+def _plan_exact_chunks(
+    work: np.ndarray,
+    stats_a: tuple[np.ndarray, np.ndarray],
+    stats_b: tuple[np.ndarray, np.ndarray],
+    tile_m: int,
+    tile_n: int,
+    score_int: int,
+    ignore_counts: bool,
+):
+    """Chunk plan keeping every f32 partial matrix exactly integer (or
+    half-integer for mean): returns None when the whole worklist is
+    provably safe in one accumulation (or the score mode is inherently
+    inexact), else (chunks, host_tiles).
+
+    Soundness: for a tile with row block rb / col block cb, its
+    contribution to cell (r1, r2) is sum over matched pairs of
+    g(ca, cb). With per-block per-rep maxima M (row count) and S
+    (count sum):
+      * product/MH: sum <= S_a[rb] * S_b[cb]
+      * min/max/mean/ignore-less modes: g <= ca + cb, so
+        sum <= S_a[rb]*M_b[cb] + S_b[cb]*M_a[rb]
+      * ignore_counts: g = 1, sum <= M_a[rb] * M_b[cb]
+    The same quantities bound every intermediate matmul entry (the
+    [r1p, TN] partial sums), so a chunk whose tile bounds sum below
+    2^24 accumulates exactly in f32."""
+    bound = _tile_exact_bounds(
+        work, stats_a, stats_b, tile_m, tile_n, score_int, ignore_counts
+    )
+    if bound is None:
+        return None  # non-integer scores: no exactness to preserve
+    if float(bound.sum()) < _F32_EXACT_LIMIT:
+        return None
+    host = bound >= _F32_EXACT_LIMIT
+    host_tiles = work[host]
+    rest = work[~host]
+    csum = np.cumsum(bound[~host])
+    chunks = []
+    start = 0
+    base = 0.0
+    while start < len(rest):
+        end = int(
+            np.searchsorted(csum, base + _F32_EXACT_LIMIT, side="left")
+        )
+        end = max(end, start + 1)
+        chunks.append(rest[start:end])
+        base = float(csum[end - 1])
+        start = end
+    return chunks, host_tiles
+
+
+def _score_np(ca, cb, score_int: int, ignore_counts: bool):
+    """compute_score on host in float64 (reference semantics,
+    /root/reference/src/overlap.cc:144-166); ca [M, 1], cb [1, N]."""
+    from ..constants import (
+        SCORE_JACCARD,
+        SCORE_MAX,
+        SCORE_MH,
+        SCORE_MIN,
+        SCORE_PRODUCT,
+        SCORE_RATIO,
+    )
+
+    if ignore_counts:
+        return np.ones((ca.shape[0], cb.shape[1]), dtype=np.float64)
+    if score_int in (SCORE_MH, SCORE_PRODUCT):
+        return ca * cb
+    if score_int == SCORE_RATIO:
+        return ca / np.where(cb == 0, 1.0, cb)
+    if score_int in (SCORE_JACCARD, SCORE_MIN):
+        return np.minimum(ca + np.zeros_like(cb), cb)
+    if score_int == SCORE_MAX:
+        return np.maximum(ca + np.zeros_like(cb), cb)
+    return (ca + cb) / 2.0
+
+
+def _host_tiles_matrix(
+    db1: SeqDB,
+    db2: SeqDB,
+    orig_a: np.ndarray,
+    orig_b: np.ndarray,
+    tiles: np.ndarray,
+    spec: MatchSpec,
+    score_int: int,
+    ignore_counts: bool,
+    r1p: int,
+    r2p: int,
+    tile_m: int,
+    tile_n: int,
+) -> np.ndarray:
+    """Exact float64 accumulation of a few worklist tiles on host —
+    the fallback for tiles whose f32 bound cannot be met by chunking
+    (duplicate-heavy same-repertoire blocks). Match semantics mirror
+    _tile_match exactly."""
+    out = np.zeros((r1p, r2p), dtype=np.float64)
+    w = max(db1.seqs.shape[1], db2.seqs.shape[1], 1)
+    pad = db1.pad_value
+    use_indels = spec.indels and spec.differences == 1
+    for ra, cb0 in tiles:
+        ia = orig_a[ra : ra + tile_m]
+        ia = ia[ia >= 0]
+        ib = orig_b[cb0 : cb0 + tile_n]
+        ib = ib[ib >= 0]
+        if len(ia) == 0 or len(ib) == 0:
+            continue
+        la = db1.lengths[ia].astype(np.int64)
+        lb = db2.lengths[ib].astype(np.int64)
+        A = np.full((len(ia), w), pad, dtype=np.int8)
+        A[:, : db1.seqs.shape[1]] = db1.seqs[ia]
+        B = np.full((len(ib), w), pad, dtype=np.int8)
+        B[:, : db2.seqs.shape[1]] = db2.seqs[ib]
+        eq = A[:, None, :] == B[None, :, :]
+        mism = w - eq.sum(axis=2)
+        match = (la[:, None] == lb[None, :]) & (
+            mism <= spec.differences
+        )
+        if use_indels:
+            pref = np.cumprod(eq, axis=2).sum(axis=2)
+            Ar = _reverse_rows(A, la.astype(np.int32), pad)
+            Br = _reverse_rows(B, lb.astype(np.int32), pad)
+            seq = Ar[:, None, :] == Br[None, :, :]
+            suf = np.cumprod(seq, axis=2).sum(axis=2)
+            pm1 = np.abs(la[:, None] - lb[None, :]) == 1
+            minlen = np.minimum(la[:, None], lb[None, :])
+            match = match | (pm1 & (pref + suf >= minlen))
+        if not spec.ignore_genes:
+            match = match & (
+                db1.v_no[ia][:, None] == db2.v_no[ib][None, :]
+            ) & (db1.j_no[ia][:, None] == db2.j_no[ib][None, :])
+        if spec.exclude_self:
+            match = match & (ia[:, None] != ib[None, :])
+        g = _score_np(
+            db1.counts[ia].astype(np.float64)[:, None],
+            db2.counts[ib].astype(np.float64)[None, :],
+            score_int,
+            ignore_counts,
+        )
+        sel = np.nonzero(match)
+        if len(sel[0]):
+            np.add.at(
+                out,
+                (db1.rep_no[ia][sel[0]], db2.rep_no[ib][sel[1]]),
+                g[sel],
+            )
+    return out
 
 
 def _sparse_devices() -> list:
@@ -675,16 +913,21 @@ def dense_matrix(
 ) -> np.ndarray:
     """Dense path: accumulate the [R1, R2] overlap matrix on device.
 
-    Float32 accumulation on device (exact for the integer-score modes
-    while per-cell partial sums stay below 2^24), float64 on return.
-    The sparse path (find_pairs + host f64) is the byte-exact reference
-    path; this one is for bulk throughput.
+    Float32 accumulation on device, guarded for exactness: per-cell
+    partial sums of the integer score modes are kept below 2^24 by
+    chunking the worklist (partials summed in float64 on host) and
+    routing pathological tiles to an exact host path — see
+    _plan_exact_chunks. COMPAIRR_DENSE_EXACT=0 disables the guard for
+    raw-throughput measurement. The sparse path (find_pairs + host
+    f64) remains the byte-exact reference path; this one is for bulk
+    throughput.
 
     engine: "pallas" (TPU kernel), "xla" (scan of fused tiles, any
     backend), or "auto" (pallas on TPU, xla elsewhere).
     """
     on_tpu = jax.default_backend() != "cpu"
     use_pallas = engine == "pallas" or (engine == "auto" and on_tpu)
+    guard = os.environ.get("COMPAIRR_DENSE_EXACT", "1") != "0"
     lmax = int(max(db1.longest, db2.longest, 1))
     if use_pallas:
         lmax = _round_up(lmax, 8)
@@ -693,17 +936,49 @@ def dense_matrix(
     r1p = _round_up(max(db1.repertoire_count, 1), 8)
     r2p = _round_up(max(db2.repertoire_count, 1), 128)
 
+    def run_guarded(work, dispatch, stats_a, stats_b, orig_a, orig_b):
+        """Dispatch the worklist with the f32-exactness guard: one
+        shot when provably safe, else exact-chunked with host f64
+        partial summing and a host path for pathological tiles."""
+        if len(work) == 0:
+            return np.zeros((r1p, r2p), dtype=np.float64)
+        plan = (
+            _plan_exact_chunks(
+                work, stats_a, stats_b, tile_m, tile_n,
+                score_int, ignore_counts,
+            )
+            if guard
+            else None
+        )
+        if plan is None:
+            return np.asarray(dispatch(work)).astype(np.float64)
+        chunks, host_tiles = plan
+        accf = np.zeros((r1p, r2p), dtype=np.float64)
+        for cw in chunks:
+            accf += np.asarray(dispatch(cw)).astype(np.float64)
+        if len(host_tiles):
+            accf += _host_tiles_matrix(
+                db1, db2, orig_a, orig_b, host_tiles, spec,
+                score_int, ignore_counts, r1p, r2p, tile_m, tile_n,
+            )
+        return accf
+
+    def padded_orig(order, npad):
+        out = np.full(npad, -1, dtype=np.int64)
+        out[: len(order)] = order
+        return out
+
+    use_indels = spec.indels and spec.differences == 1
     if use_pallas:
         # Zero-copy-host pack: upload the raw arrays immediately (the
         # tunnel transfer is the bottleneck and runs async), sort rows
         # on device, keep only the argsort + key vector on host.
         from .pallas_kernels import dense_matrix_pallas, device_args_raw
 
-        use_indels = spec.indels and spec.differences == 1
         order_a, key_a, npad_a = pack_keys(db1, tile_m, by_vjl)
         da = device_args_raw(db1, order_a, npad_a, lmax, use_indels)
         if db2 is db1 and tile_m == tile_n:
-            key_b, npad_b, db_dev = key_a, npad_a, da
+            order_b, key_b, npad_b, db_dev = order_a, key_a, npad_a, da
         else:
             order_b, key_b, npad_b = pack_keys(db2, tile_n, by_vjl)
             db_dev = device_args_raw(db2, order_b, npad_b, lmax, use_indels)
@@ -714,28 +989,38 @@ def dense_matrix(
         if logger is not None and progress_prompt is not None:
             logger.progress_init(progress_prompt, max(len(work), 1))
 
-        if len(work) == 0:
-            acc = np.zeros((r1p, r2p), dtype=np.float32)
-        else:
-            acc = np.asarray(
-                dense_matrix_pallas(
-                    da["a"],
-                    db_dev["b"],
-                    work,
-                    differences=spec.differences,
-                    indels=spec.indels and spec.differences == 1,
-                    ignore_genes=spec.ignore_genes,
-                    score_int=score_int,
-                    ignore_counts=ignore_counts,
-                    tile_m=tile_m,
-                    tile_n=tile_n,
-                    r1p=r1p,
-                    r2p=r2p,
-                    interpret=not on_tpu,
-                )
+        def dispatch(cw):
+            return dense_matrix_pallas(
+                da["a"],
+                db_dev["b"],
+                cw,
+                differences=spec.differences,
+                indels=use_indels,
+                ignore_genes=spec.ignore_genes,
+                score_int=score_int,
+                ignore_counts=ignore_counts,
+                tile_m=tile_m,
+                tile_n=tile_n,
+                r1p=r1p,
+                r2p=r2p,
+                interpret=not on_tpu,
             )
+
+        acc = run_guarded(
+            work,
+            dispatch,
+            _block_rep_stats(
+                db1.rep_no[order_a], db1.counts[order_a], db1.n,
+                tile_m, npad_a // tile_m, max(db1.repertoire_count, 1),
+            ),
+            _block_rep_stats(
+                db2.rep_no[order_b], db2.counts[order_b], db2.n,
+                tile_n, npad_b // tile_n, max(db2.repertoire_count, 1),
+            ),
+            padded_orig(order_a, npad_a),
+            padded_orig(order_b, npad_b),
+        )
     else:
-        use_indels = spec.indels and spec.differences == 1
         a = pack_set(db1, lmax, tile_m, by_vjl, need_rseqs=use_indels)
         b = (
             a
@@ -747,16 +1032,35 @@ def dense_matrix(
         if logger is not None and progress_prompt is not None:
             logger.progress_init(progress_prompt, max(len(work), 1))
 
-        if len(work) == 0:
-            acc = np.zeros((r1p, r2p), dtype=np.float32)
-        else:
-            fn = _dense_fn(
-                spec, score_int, ignore_counts, tile_m, tile_n, r1p, r2p,
-                on_tpu,
-            )
-            acc = np.asarray(
-                fn(_device_args(a), _device_args(b), jnp.asarray(work))
-            )
+        fn = _dense_fn(
+            spec, score_int, ignore_counts, tile_m, tile_n, r1p, r2p,
+            on_tpu,
+        )
+        a_dev = _device_args(a)
+        b_dev = a_dev if b is a else _device_args(b)
+
+        def dispatch(cw):
+            if len(cw) != len(work):
+                # guard chunks: pad to the pow2 ladder (dummy tiles aim
+                # at all-pad rows, zero contribution) so chunk count,
+                # not chunk length, bounds the set of compiled shapes
+                cw = pad_worklist_n(cw, a.np_, b.np_, tile_m, tile_n)
+            return fn(a_dev, b_dev, jnp.asarray(cw))
+
+        acc = run_guarded(
+            work,
+            dispatch,
+            _block_rep_stats(
+                a.rep, a.counts, a.n, tile_m, a.np_ // tile_m,
+                max(db1.repertoire_count, 1),
+            ),
+            _block_rep_stats(
+                b.rep, b.counts, b.n, tile_n, b.np_ // tile_n,
+                max(db2.repertoire_count, 1),
+            ),
+            a.orig,
+            b.orig,
+        )
 
     if logger is not None and progress_prompt is not None:
         logger.progress_update(len(work))
@@ -1035,6 +1339,7 @@ def find_pairs(
     --distance ever reads it.
     """
     if spec.differences == 0:
+        _note_route("exact")
         return _find_pairs_exact(
             db1, db2, spec, logger, progress_prompt, exact_groups
         )
@@ -1069,6 +1374,7 @@ def find_pairs(
     mode = os.environ.get("COMPAIRR_PIGEONHOLE", "1")
     if mode != "0":
         if spec.indels and spec.differences == 1:
+            route = "pigeonhole_indel"
             ph = (
                 _find_pairs_pigeonhole_indel(
                     db1, db2, spec, logger, progress_prompt
@@ -1078,15 +1384,20 @@ def find_pairs(
             )
         else:
             if vj_prep is not None or variant_join_route(db1, db2, spec):
+                route = "variant_join"
                 ph = _find_pairs_variant_join(
                     db1, db2, spec, logger, progress_prompt, prep=vj_prep
                 )
             else:
+                route = "pigeonhole"
                 ph = _find_pairs_pigeonhole(
                     db1, db2, spec, logger, progress_prompt
                 )
         if ph is not None:
+            _note_route(route)
             return with_diagonal(*ph)
+
+    _note_route("tiles")
 
     on_tpu = jax.default_backend() != "cpu"
     tm = _PhaseTimer()

@@ -270,17 +270,25 @@ def _make_kernel(
         oh2t = (
             b_rep[:] == lax.broadcasted_iota(jnp.int32, (r2p, tile_n), 0)
         ).astype(jnp.float32)
+        # Precision.HIGHEST: the default TPU matmul truncates f32
+        # operands to bf16, rounding count products (sc can carry
+        # integers up to 2^24, far past bf16's 8-bit mantissa) — seen
+        # as +-1..3 drift per cell vs the reference. 6-pass emulation
+        # keeps these small matmuls exact; the int8 Hamming matmul is
+        # unaffected.
         part = lax.dot_general(
             oh1,
             sc,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         )
         out_ref[:] += lax.dot_general(
             part,
             oh2t,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         )
 
     return kernel
@@ -391,6 +399,214 @@ def _dense_pallas_fn(
         interpret=interpret,
     )
     return jax.jit(fn)
+
+
+def _make_dense_v2_kernel(
+    *,
+    differences: int,
+    ignore_genes: bool,
+    fold_counts: bool,
+    lpad: int,
+    tile_m: int,
+    tile_n: int,
+    r1p: int,
+    r2p: int,
+):
+    """Throughput dense kernel (substitution-only): one-hot rows come
+    precomputed from HBM, so the program is three-to-five MXU matmuls
+    plus cheap masks — no per-tile VPU one-hot rebuild.
+
+    Score reduction (exact, fast): matrix[r1,r2] = sum over matched
+    pairs of ca*cb. With counts byte-split (ca = 256*h + l, h,l <= 255
+    exactly representable in bf16):
+      Q_l = A_l^T M,  Q_h = A_h^T M      (single-pass bf16 matmuls;
+                                          MXU accumulates in f32, so
+                                          integer sums are exact)
+      out += Q_l B + 256 * (Q_h B)       (B carries full counts; f32
+                                          Precision.HIGHEST keeps the
+                                          products exact)
+    fold_counts=False (ignore_counts / -f) drops the h term and B's
+    count weighting. Only product-family scores (product, MH) ride
+    this kernel; other modes keep the v1 kernel."""
+
+    def kernel(
+        rows_ref,
+        cols_ref,
+        a_oh,
+        a_len,
+        a_v,
+        a_j,
+        a_rep,
+        a_cnt,
+        b_oh,
+        b_len,
+        b_v,
+        b_j,
+        b_rep,
+        b_cnt,
+        out_ref,
+    ):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        matches = lax.dot_general(
+            a_oh[:],
+            b_oh[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        la = a_len[:].T  # [TM, 1]
+        lb = b_len[:]  # [1, TN]
+        match = (la == lb) & ((lpad - matches) <= differences)
+        if not ignore_genes:
+            match = match & (a_v[:].T == b_v[:]) & (a_j[:].T == b_j[:])
+        match = match & (la > 0) & (lb > 0)
+        m_bf = match.astype(jnp.bfloat16)
+
+        oh1 = (
+            a_rep[:].T == lax.broadcasted_iota(jnp.int32, (tile_m, r1p), 1)
+        ).astype(jnp.float32)
+        b_oh2 = (
+            b_rep[:] == lax.broadcasted_iota(jnp.int32, (r2p, tile_n), 0)
+        ).astype(jnp.float32)
+        if fold_counts:
+            ca = a_cnt[:].T  # [TM, 1] f32
+            h = jnp.floor(ca * (1.0 / 256.0))
+            low = ca - 256.0 * h
+            a_l = (oh1 * low).astype(jnp.bfloat16)
+            a_h = (oh1 * h).astype(jnp.bfloat16)
+            bmat = b_oh2 * b_cnt[:]  # [r2p, TN] full counts
+        else:
+            a_l = oh1.astype(jnp.bfloat16)
+            a_h = None
+            bmat = b_oh2
+
+        def stage(a_i):
+            q = lax.dot_general(
+                a_i,
+                m_bf,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [r1p, TN], exact integer sums
+            return lax.dot_general(
+                q,
+                bmat,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )  # [r1p, r2p]
+
+        acc = stage(a_l)
+        if a_h is not None:
+            acc = acc + 256.0 * stage(a_h)
+        out_ref[:] += acc
+
+    return kernel
+
+
+@lru_cache(maxsize=None)
+def _dense_v2_fn(
+    differences: int,
+    ignore_genes: bool,
+    fold_counts: bool,
+    lpad: int,
+    tile_m: int,
+    tile_n: int,
+    r1p: int,
+    r2p: int,
+    n_tiles: int,
+    interpret: bool = False,
+):
+    kernel = _make_dense_v2_kernel(
+        differences=differences,
+        ignore_genes=ignore_genes,
+        fold_counts=fold_counts,
+        lpad=lpad,
+        tile_m=tile_m,
+        tile_n=tile_n,
+        r1p=r1p,
+        r2p=r2p,
+    )
+    ohw = NCLASS * lpad
+
+    def a_spec(width):
+        return pl.BlockSpec(
+            (tile_m, width),
+            index_map=lambda i, rows, cols: (rows[i], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def b_spec(width):
+        return pl.BlockSpec(
+            (tile_n, width),
+            index_map=lambda i, rows, cols: (cols[i], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def aT_spec(height):
+        return pl.BlockSpec(
+            (height, tile_m),
+            index_map=lambda i, rows, cols: (0, rows[i]),
+            memory_space=pltpu.VMEM,
+        )
+
+    def bT_spec(height):
+        return pl.BlockSpec(
+            (height, tile_n),
+            index_map=lambda i, rows, cols: (0, cols[i]),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            a_spec(ohw),  # a_oh
+            aT_spec(1),  # a_len
+            aT_spec(1),  # a_v
+            aT_spec(1),  # a_j
+            aT_spec(1),  # a_rep
+            aT_spec(1),  # a_cnt
+            b_spec(ohw),  # b_oh
+            bT_spec(1),  # b_len
+            bT_spec(1),  # b_v
+            bT_spec(1),  # b_j
+            bT_spec(1),  # b_rep
+            bT_spec(1),  # b_cnt
+        ],
+        out_specs=pl.BlockSpec(
+            (r1p, r2p),
+            index_map=lambda i, rows, cols: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    fn = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r1p, r2p), jnp.float32),
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+def _dense_v2_eligible(a_dev, b_dev, *, indels, score_int, ignore_counts):
+    """The v2 kernel serves substitution-only runs whose score is the
+    product family (the byte split needs counts < 2^16) or -f, when
+    both sides carry HBM one-hots."""
+    from ..constants import SCORE_MH, SCORE_PRODUCT
+
+    if indels or a_dev.get("oh") is None or b_dev.get("oh") is None:
+        return False
+    if ignore_counts:
+        return True
+    return score_int in (SCORE_MH, SCORE_PRODUCT) and (
+        max(a_dev.get("cmax", 1 << 30), b_dev.get("cmax", 1 << 30))
+        < (1 << 16)
+    )
 
 
 def _make_count_kernel(
@@ -771,13 +987,25 @@ def extract_tiles_pallas(
 MAX_TILES_PER_CALL = 1 << 16  # scalar-prefetch rows+cols must fit SMEM
 
 
+def _pad_target(c: int, minimum: int) -> int:
+    """Padded grid size for a dispatch chunk: pow2 up to 4096, then
+    4096-multiples — bounds the set of compiled grid sizes while
+    capping padding waste at ~6% for large worklists (pow2 alone
+    wastes up to 2x: a 41k-tile worklist padded to 65k runs 1.6x the
+    real work). Both ladders satisfy the count kernel's 1024-multiple
+    output-block constraint."""
+    t = max(minimum, c, 1)
+    if t <= 4096:
+        return max(minimum, 1 << (t - 1).bit_length())
+    return -(-t // 4096) * 4096
+
+
 def _chunk_worklist(work: np.ndarray, tile_m: int, tile_n: int,
                     npad_a: int, npad_b: int, minimum: int):
-    """Split a worklist into dispatch chunks: each chunk is a
-    power-of-two (>= minimum) or exactly MAX_TILES_PER_CALL tiles,
-    padded with dummy tiles aimed at the all-pad rows. Bounds both
-    the SMEM scalar-prefetch footprint and the set of compiled grid
-    sizes."""
+    """Split a worklist into dispatch chunks of at most
+    MAX_TILES_PER_CALL tiles, padded to the _pad_target ladder with
+    dummy tiles aimed at the all-pad rows. Bounds both the SMEM
+    scalar-prefetch footprint and the set of compiled grid sizes."""
     dummy = np.array([[npad_a - tile_m, npad_b - tile_n]], dtype=np.int32)
     w = len(work)
     chunks = []
@@ -788,7 +1016,7 @@ def _chunk_worklist(work: np.ndarray, tile_m: int, tile_n: int,
         target = (
             MAX_TILES_PER_CALL
             if (w - s0) > MAX_TILES_PER_CALL
-            else max(minimum, 1 << max(c - 1, 0).bit_length())
+            else _pad_target(c, minimum)
         )
         if c < target:
             chunk = np.concatenate(
@@ -888,6 +1116,47 @@ def _unpack_residues(packed, lmax: int):
 
 _DERIVE_CHUNK = 1 << 21  # rows per derive step: bounds int32 temps
 
+# Precompute one-hot residue rows in HBM for the dense kernel when the
+# padded set fits the budget (NCLASS*lpad ~ 504 bytes/row: 3 GB at the
+# 6M default). Removes the dominant per-tile VPU cost (the in-kernel
+# one-hot rebuild, done twice per tile and redone for the same block
+# by every tile that touches it); above the budget the dense path
+# falls back to the in-kernel build.
+OH_ROWS_MAX = int(
+    __import__("os").environ.get("COMPAIRR_OH_ROWS_MAX", str(6 << 20))
+)
+
+
+def _onehot_rows_chunk(seqs_c, nclass: int):
+    """[rows, L] int8 -> [rows, nclass*L] int8 one-hot, feature (c, l)
+    at lane c*L + l — the exact layout _onehot builds in-kernel, so
+    HBM-precomputed and in-kernel operands are interchangeable."""
+    rows, lpad = seqs_c.shape
+    cls = lax.broadcasted_iota(jnp.int32, (1, nclass, 1), 1)
+    oh = (seqs_c[:, None, :].astype(jnp.int32) == cls).astype(jnp.int8)
+    return oh.reshape(rows, nclass * lpad)
+
+
+def _onehot_rows(seqs_s, nclass: int):
+    """Chunked HBM one-hot derive (the compare's int32 temporaries are
+    4x the output; chunking bounds them at scale)."""
+    npad = seqs_s.shape[0]
+    lpad = seqs_s.shape[1]
+    c = _DERIVE_CHUNK >> 2  # one-hot rows are ~21x wider than residues
+    if npad <= c:
+        return _onehot_rows_chunk(seqs_s, nclass)
+    nchunks = -(-npad // c)
+
+    def body(i, buf):
+        start = jnp.minimum(i * c, npad - c)
+        s = lax.dynamic_slice_in_dim(seqs_s, start, c)
+        return lax.dynamic_update_slice(
+            buf, _onehot_rows_chunk(s, nclass), (start, 0)
+        )
+
+    init = jnp.zeros((npad, nclass * lpad), jnp.int8)
+    return lax.fori_loop(0, nchunks, body, init)
+
 
 def _seqs_chunk(seqs_packed, lengths_c, order_c, pad_val: int, lmax: int,
                 with_rseqs: bool = True):
@@ -940,7 +1209,8 @@ def _gathered_seqs(seqs_packed, lengths_s, order, pad_val: int, lmax: int,
 
 
 @lru_cache(maxsize=None)
-def _gather_derive_fn(pad_val: int, lmax: int, with_indels: bool):
+def _gather_derive_fn(pad_val: int, lmax: int, with_indels: bool,
+                      with_oh: bool = False):
     """Device-side bucket sort + layout derivation from the raw
     (unsorted) upload. The host only computes the argsort permutation
     and the 5-bit residue packing; the row gather, residue unpack,
@@ -977,11 +1247,9 @@ def _gather_derive_fn(pad_val: int, lmax: int, with_indels: bool):
             rseqs=rseqs if with_indels else None,
             **scal,
         )
-        b = dict(
-            seqs=seqs_s,
-            rseqs=rseqs if with_indels else None,
-            **scal,
-        )
+        if with_oh:
+            a["oh"] = _onehot_rows(seqs_s, NCLASS)
+        b = dict(a)
         return a, b
 
     return f
@@ -1071,7 +1339,10 @@ def device_args_raw(db, order: np.ndarray, npad: int, lpad: int,
     """Upload a SeqDB's raw arrays (plus one sentinel row) and derive
     the sorted kernel layouts on device (see _gather_derive_fn).
     `order` is pack_keys' permutation; padding rows map to the
-    sentinel."""
+    sentinel. Substitution-only sets within the OH_ROWS_MAX budget
+    also get HBM-precomputed one-hot rows ("oh") for the v2 dense
+    kernel; "cmax" carries the host-side count maximum for its
+    byte-split eligibility check."""
     n = db.n
     pad_val = int(db.pad_value)
     m = _canon_src(n + 1)
@@ -1080,7 +1351,8 @@ def device_args_raw(db, order: np.ndarray, npad: int, lpad: int,
     order_full = np.full(npad, n, dtype=np.int32)
     order_full[:n] = order
     dev = jax.device_put
-    a, b = _gather_derive_fn(pad_val, lpad, indels)(
+    with_oh = (not indels) and npad <= OH_ROWS_MAX
+    a, b = _gather_derive_fn(pad_val, lpad, indels, with_oh)(
         dev(_packed_upload(db, m, lpad, pad_val)),
         dev(_shrink(db.lengths, -1, m)),
         dev(_shrink(db.v_no, -1, m)),
@@ -1089,6 +1361,8 @@ def device_args_raw(db, order: np.ndarray, npad: int, lpad: int,
         dev(cnt),
         dev(order_full),
     )
+    a, b = dict(a), dict(b)
+    a["cmax"] = b["cmax"] = float(db.counts.max()) if n else 0.0
     return {"a": a, "b": b}
 
 
@@ -1130,6 +1404,85 @@ def dense_matrix_pallas(
     return acc
 
 
+def dense_matrix_pallas_prepared(
+    a_dev: dict,
+    b_dev: dict,
+    work: np.ndarray,
+    *,
+    differences: int,
+    indels: bool,
+    ignore_genes: bool,
+    score_int: int,
+    ignore_counts: bool,
+    tile_m: int,
+    tile_n: int,
+    r1p: int,
+    r2p: int,
+    interpret: bool = False,
+):
+    """One-time prep (chunk split, worklist upload, kernel build) for
+    repeated dispatch of the same dense accumulation — the benchmark's
+    sustained-throughput path. Returns a zero-arg callable that queues
+    the full worklist asynchronously and returns the per-chunk partial
+    device matrices (sum them for the result)."""
+    lpad = a_dev["seqs"].shape[1]
+    npad_a = a_dev["seqs"].shape[0]
+    npad_b = b_dev["seqs"].shape[0]
+    dev = _device_of(a_dev["seqs"])
+    use_v2 = _dense_v2_eligible(
+        a_dev, b_dev,
+        indels=indels, score_int=score_int, ignore_counts=ignore_counts,
+    )
+    prepared = []
+    for chunk, _c in _chunk_worklist(
+        work, tile_m, tile_n, npad_a, npad_b, 64
+    ):
+        rows = jax.device_put(
+            (chunk[:, 0] // tile_m).astype(np.int32), dev
+        )
+        cols = jax.device_put(
+            (chunk[:, 1] // tile_n).astype(np.int32), dev
+        )
+        if use_v2:
+            fn = _dense_v2_fn(
+                differences, ignore_genes, not ignore_counts,
+                lpad, tile_m, tile_n, r1p, r2p, int(len(chunk)),
+                interpret,
+            )
+            args = (
+                a_dev["oh"], a_dev["len"], a_dev["v"], a_dev["j"],
+                a_dev["rep"], a_dev["cnt"],
+                b_dev["oh"], b_dev["len"], b_dev["v"], b_dev["j"],
+                b_dev["rep"], b_dev["cnt"],
+            )
+        else:
+            fn = _dense_pallas_fn(
+                differences, indels, ignore_genes, score_int,
+                ignore_counts, lpad, tile_m, tile_n, r1p, r2p,
+                int(len(chunk)), interpret,
+            )
+            a_rseq = (
+                a_dev["rseqs"] if indels
+                else _dummy_i8((tile_m, lpad), dev)
+            )
+            b_rseq = (
+                b_dev["rseqs"] if indels
+                else _dummy_i8((tile_n, lpad), dev)
+            )
+            args = (
+                a_dev["seqs"], a_rseq, a_dev["len"], a_dev["v"],
+                a_dev["j"], a_dev["rep"], a_dev["cnt"],
+                b_dev["seqs"], b_rseq, b_dev["len"], b_dev["v"],
+                b_dev["j"], b_dev["rep"], b_dev["cnt"],
+            )
+        prepared.append((fn, rows, cols, args))
+
+    def run():
+        return [f(r, c, *a) for f, r, c, a in prepared]
+
+    return run
+
+
 def _dense_pallas_chunk(
     a_dev: dict,
     b_dev: dict,
@@ -1149,6 +1502,31 @@ def _dense_pallas_chunk(
     lpad = a_dev["seqs"].shape[1]
     rows = (work[:, 0] // tile_m).astype(np.int32)
     cols = (work[:, 1] // tile_n).astype(np.int32)
+    dev = _device_of(a_dev["seqs"])
+    if _dense_v2_eligible(
+        a_dev, b_dev,
+        indels=indels, score_int=score_int, ignore_counts=ignore_counts,
+    ):
+        fn = _dense_v2_fn(
+            differences, ignore_genes, not ignore_counts,
+            lpad, tile_m, tile_n, r1p, r2p, int(len(rows)), interpret,
+        )
+        return fn(
+            jax.device_put(rows, dev),
+            jax.device_put(cols, dev),
+            a_dev["oh"],
+            a_dev["len"],
+            a_dev["v"],
+            a_dev["j"],
+            a_dev["rep"],
+            a_dev["cnt"],
+            b_dev["oh"],
+            b_dev["len"],
+            b_dev["v"],
+            b_dev["j"],
+            b_dev["rep"],
+            b_dev["cnt"],
+        )
     fn = _dense_pallas_fn(
         differences,
         indels,
@@ -1163,7 +1541,6 @@ def _dense_pallas_chunk(
         int(len(rows)),
         interpret,
     )
-    dev = _device_of(a_dev["seqs"])
     a_rseq = a_dev["rseqs"] if indels else _dummy_i8((tile_m, lpad), dev)
     b_rseq = b_dev["rseqs"] if indels else _dummy_i8((tile_n, lpad), dev)
     return fn(

@@ -30,7 +30,11 @@ from ..ops.engine import (
     PackedSet,
     TILE_M,
     TILE_N,
+    _F32_EXACT_LIMIT,
+    _block_rep_stats,
+    _host_tiles_matrix,
     _round_up,
+    _tile_exact_bounds,
     dense_tile_contrib,
     pack_set,
 )
@@ -64,6 +68,23 @@ def initialize_distributed(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
+    )
+
+
+def _global_put(mesh: Mesh, pspec: P, host_arr: np.ndarray):
+    """Host-replicated numpy -> jax.Array laid out per `pspec` over
+    `mesh`. Single-process: a plain transfer (jit applies the sharding).
+    Multi-process (after initialize_distributed): every process holds
+    the same full host copy and contributes its addressable shards via
+    make_array_from_callback — the standard single-controller JAX
+    pattern for globally-sharded inputs."""
+    if jax.process_count() == 1:
+        return jnp.asarray(host_arr)
+    from jax.sharding import NamedSharding
+
+    sh = NamedSharding(mesh, pspec)
+    return jax.make_array_from_callback(
+        host_arr.shape, sh, lambda idx: host_arr[idx]
     )
 
 
@@ -134,7 +155,7 @@ def _shard_worklists(
     for k, tiles in enumerate(lists):
         if len(tiles):
             work[k, : len(tiles)] = tiles
-    return work
+    return work, lists
 
 
 def dense_matrix_sharded(
@@ -163,7 +184,7 @@ def dense_matrix_sharded(
     )
 
     stacked, chunk, bounds = _shard_packed(a, n_shards, tile_m)
-    work = _shard_worklists(
+    work, lists = _shard_worklists(
         stacked["key"], bounds, b, spec, tile_m, tile_n, chunk
     )
 
@@ -200,19 +221,13 @@ def dense_matrix_sharded(
         acc, _ = lax.scan(step, acc0, (starts[:, 0], starts[:, 1]))
         return lax.psum(acc, "shard")
 
-    a_stack = (
-        jnp.asarray(stacked["seqs"]),
-        jnp.asarray(stacked["rseqs"]),
-        jnp.asarray(stacked["lengths"]),
-        jnp.asarray(stacked["v"]),
-        jnp.asarray(stacked["j"]),
-        jnp.asarray(stacked["rep"]),
-        jnp.asarray(stacked["counts"]),
+    a_stack = tuple(
+        _global_put(mesh, P("shard"), stacked[k])
+        for k in ("seqs", "rseqs", "lengths", "v", "j", "rep", "counts")
     )
-    b_args = (
-        jnp.asarray(b.seqs), jnp.asarray(b.rseqs), jnp.asarray(b.lengths),
-        jnp.asarray(b.v), jnp.asarray(b.j), jnp.asarray(b.rep),
-        jnp.asarray(b.counts),
+    b_args = tuple(
+        _global_put(mesh, P(), x)
+        for x in (b.seqs, b.rseqs, b.lengths, b.v, b.j, b.rep, b.counts)
     )
 
     shard_spec = tuple(P("shard") for _ in a_stack)
@@ -225,10 +240,133 @@ def dense_matrix_sharded(
             out_specs=P(),
         )
     )
-    acc = np.asarray(fn(a_stack, b_args, jnp.asarray(work)))
+
+    # f32 exactness guard (see engine._plan_exact_chunks): the per-cell
+    # budget covers the psum across shards too, since the merged result
+    # is still f32 — chunks are co-packed across shards under one
+    # global 2^24 budget and the per-chunk [R1, R2] partials are summed
+    # in f64 on host. Pathological tiles run on the exact host path.
+    import os as _os
+
+    guard = _os.environ.get("COMPAIRR_DENSE_EXACT", "1") != "0"
+    plan = None
+    if guard:
+        nrep1 = max(db1.repertoire_count, 1)
+        nrep2 = max(db2.repertoire_count, 1)
+        stats_b = _block_rep_stats(
+            b.rep, b.counts, b.n, tile_n, b.np_ // tile_n, nrep2
+        )
+        per_bounds = []
+        total = 0.0
+        applicable = True
+        for k, tiles in enumerate(lists):
+            lo, hi = bounds[k]
+            stats_ak = _block_rep_stats(
+                a.rep[lo:hi], a.counts[lo:hi], hi - lo, tile_m,
+                chunk // tile_m, nrep1,
+            )
+            if len(tiles) == 0:
+                per_bounds.append((stats_ak, np.zeros(0)))
+                continue
+            bd = _tile_exact_bounds(
+                tiles, stats_ak, stats_b, tile_m, tile_n,
+                score_int, ignore_counts,
+            )
+            if bd is None:
+                applicable = False
+                break
+            per_bounds.append((stats_ak, bd))
+            total += float(bd.sum())
+        if applicable and total >= _F32_EXACT_LIMIT:
+            plan = _plan_sharded_chunks(
+                lists, [bd for _, bd in per_bounds]
+            )
+
+    if plan is None:
+        acc = np.asarray(
+            fn(a_stack, b_args, _global_put(mesh, P("shard"), work))
+        ).astype(np.float64)
+    else:
+        chunks, host_tiles = plan
+        wc_max = max(
+            (len(t) for cur in chunks for t in cur), default=1
+        )
+        wc_max = max(wc_max, 1)
+        acc = np.zeros((r1p, r2p), dtype=np.float64)
+        for cur in chunks:
+            cw = np.zeros((n_shards, wc_max, 2), dtype=np.int32)
+            cw[:, :, 0] = chunk - tile_m
+            cw[:, :, 1] = b.np_ - tile_n
+            for k, tiles in enumerate(cur):
+                if len(tiles):
+                    cw[k, : len(tiles)] = tiles
+            acc += np.asarray(
+                fn(a_stack, b_args, _global_put(mesh, P("shard"), cw))
+            ).astype(np.float64)
+        for k, tiles in enumerate(host_tiles):
+            if len(tiles) == 0:
+                continue
+            lo, hi = bounds[k]
+            orig_k = np.full(chunk, -1, dtype=np.int64)
+            orig_k[: hi - lo] = a.orig[lo:hi]
+            acc += _host_tiles_matrix(
+                db1, db2, orig_k, b.orig, np.asarray(tiles), spec,
+                score_int, ignore_counts, r1p, r2p, tile_m, tile_n,
+            )
     return acc[: db1.repertoire_count, : db2.repertoire_count].astype(
         np.float64
     )
+
+
+def _plan_sharded_chunks(lists, per_bounds):
+    """Co-pack the per-shard worklists into chunks whose COMBINED
+    (post-psum) f32 partial stays exact: each chunk takes a prefix of
+    every shard's remaining tiles under one global 2^24 budget.
+    Returns (chunks, host_tiles): chunks is a list of per-shard tile
+    arrays, host_tiles the per-shard tiles whose own bound crosses the
+    limit (computed exactly on host instead)."""
+    n_shards = len(lists)
+    rest, rbounds, host = [], [], []
+    for k in range(n_shards):
+        bd = per_bounds[k]
+        tiles = lists[k]
+        if len(tiles) == 0:
+            rest.append(np.zeros((0, 2), dtype=np.int32))
+            rbounds.append(np.zeros(0))
+            host.append(np.zeros((0, 2), dtype=np.int32))
+            continue
+        heavy = bd >= _F32_EXACT_LIMIT
+        host.append(tiles[heavy])
+        rest.append(tiles[~heavy])
+        rbounds.append(bd[~heavy])
+    csums = [np.cumsum(bd) for bd in rbounds]
+    ptr = [0] * n_shards
+    chunks = []
+    while any(ptr[k] < len(rest[k]) for k in range(n_shards)):
+        budget = _F32_EXACT_LIMIT
+        cur = []
+        for k in range(n_shards):
+            p = ptr[k]
+            if p >= len(rest[k]) or budget <= 0:
+                cur.append(rest[k][:0])
+                continue
+            base = csums[k][p - 1] if p else 0.0
+            end = int(
+                np.searchsorted(csums[k], base + budget, side="left")
+            )
+            cur.append(rest[k][p:end])
+            if end > p:
+                budget -= float(csums[k][end - 1] - base)
+                ptr[k] = end
+        if not any(len(t) for t in cur):
+            # budget too small for any shard's next tile: force one
+            for k in range(n_shards):
+                if ptr[k] < len(rest[k]):
+                    cur[k] = rest[k][ptr[k] : ptr[k] + 1]
+                    ptr[k] += 1
+                    break
+        chunks.append(cur)
+    return chunks, host
 
 
 def dense_matrix_ring(
@@ -290,6 +428,49 @@ def dense_matrix_ring(
         if len(wl):
             work[k, s, : len(wl)] = wl
 
+    # f32 exactness guard: the ring accumulates all n_shards steps into
+    # one f32 accumulator inside a single jit, which cannot be chunked
+    # without redoing the permute schedule — when per-cell partials
+    # could cross 2^24, delegate to the sharded path, whose chunked
+    # guard preserves exactness (the ring is the memory-optimised
+    # variant; exactness wins when the two conflict).
+    import os as _os
+
+    if _os.environ.get("COMPAIRR_DENSE_EXACT", "1") != "0":
+        nrep1 = max(db1.repertoire_count, 1)
+        nrep2 = max(db2.repertoire_count, 1)
+        stats_a_k = []
+        stats_b_k = []
+        for k in range(n_shards):
+            alo, ahi = a_bounds[k]
+            blo, bhi = b_bounds[k]
+            stats_a_k.append(_block_rep_stats(
+                a.rep[alo:ahi], a.counts[alo:ahi], ahi - alo, tile_m,
+                a_chunk // tile_m, nrep1,
+            ))
+            stats_b_k.append(_block_rep_stats(
+                b.rep[blo:bhi], b.counts[blo:bhi], bhi - blo, tile_n,
+                b_chunk // tile_n, nrep2,
+            ))
+        total = 0.0
+        applicable = True
+        for (k, s), wl in lists.items():
+            if len(wl) == 0:
+                continue
+            bd = _tile_exact_bounds(
+                wl, stats_a_k[k], stats_b_k[(k + s) % n_shards],
+                tile_m, tile_n, score_int, ignore_counts,
+            )
+            if bd is None:
+                applicable = False
+                break
+            total += float(bd.sum())
+        if applicable and total >= _F32_EXACT_LIMIT:
+            return dense_matrix_sharded(
+                db1, db2, spec, score_int, ignore_counts,
+                devices, tile_m, tile_n,
+            )
+
     r1p = _round_up(max(db1.repertoire_count, 1), 8)
     r2p = _round_up(max(db2.repertoire_count, 1), 128)
     mxu = jax.default_backend() != "cpu"
@@ -336,8 +517,12 @@ def dense_matrix_ring(
         return lax.psum(acc, "shard")
 
     keys = ("seqs", "rseqs", "lengths", "v", "j", "rep", "counts")
-    a_stack = tuple(jnp.asarray(a_stacked[k]) for k in keys)
-    b_stack = tuple(jnp.asarray(b_stacked[k]) for k in keys)
+    a_stack = tuple(
+        _global_put(mesh, P("shard"), a_stacked[k]) for k in keys
+    )
+    b_stack = tuple(
+        _global_put(mesh, P("shard"), b_stacked[k]) for k in keys
+    )
     fn = jax.jit(
         jax.shard_map(
             per_shard,
@@ -350,7 +535,7 @@ def dense_matrix_ring(
             out_specs=P(),
         )
     )
-    acc = np.asarray(fn(a_stack, b_stack, jnp.asarray(work)))
+    acc = np.asarray(fn(a_stack, b_stack, _global_put(mesh, P("shard"), work)))
     return acc[: db1.repertoire_count, : db2.repertoire_count].astype(
         np.float64
     )

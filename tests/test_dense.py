@@ -66,6 +66,34 @@ def test_dense_matches_sparse(dbs, d, indels, genes, score, f):
     np.testing.assert_allclose(dm, sm, rtol=0, atol=0)
 
 
+@pytest.mark.parametrize("f", [False, True])
+def test_dense_v2_kernel_interpret(dbs, f):
+    """The v2 dense kernel (HBM one-hots + byte-split count folding)
+    in Pallas interpret mode must match the sparse path exactly —
+    substitution-only product/-f runs route onto it
+    (pallas_kernels._dense_v2_eligible)."""
+    from compairr_tpu.ops import pallas_kernels as P
+
+    d1, d2 = dbs
+    spec = MatchSpec(differences=2, indels=False, ignore_genes=False)
+    calls = []
+    real = P._dense_v2_fn
+
+    def probe(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    orig = P._dense_v2_fn
+    P._dense_v2_fn = probe
+    try:
+        dm = dense_matrix(d1, d2, spec, SCORE_PRODUCT, f, engine="pallas")
+    finally:
+        P._dense_v2_fn = orig
+    assert calls, "v2 kernel was not selected for a product-score run"
+    sm = sparse_matrix(d1, d2, spec, SCORE_PRODUCT, f)
+    np.testing.assert_allclose(dm, sm, rtol=0, atol=0)
+
+
 def test_dense_self_comparison(dbs):
     d1, _ = dbs
     spec = MatchSpec(differences=1, indels=False, ignore_genes=False)

@@ -36,7 +36,13 @@ def run_ours(args, cwd):
         capture_output=True,
         text=True,
         cwd="/root/repo",
-        env={**os.environ, "PYTHONPATH": "/root/repo"},
+        # prepend: dropping the inherited path would silently lose the
+        # TPU plugin's sitecustomize dir (/root/.axon_site) — see
+        # CLAUDE.md "Environment quirks"
+        env={
+            **os.environ,
+            "PYTHONPATH": "/root/repo:" + os.environ.get("PYTHONPATH", ""),
+        },
     )
     assert r.returncode == 0, f"ours failed: {r.stderr}"
     return r
