@@ -1,0 +1,42 @@
+"""REAL multi-process jax.distributed run (VERDICT r2 missing item 1).
+
+Two local processes initialize jax.distributed against a local
+coordinator (CPU backend, 4 virtual devices each -> one 8-device
+global mesh), run dense_matrix_sharded and dense_matrix_ring over the
+global mesh — cross-process psum / ppermute — and must both produce
+exactly the single-process matrix. This executes the one distributed
+layer that was previously wired but never run
+(compairr_tpu/parallel/mesh.py initialize_distributed + _global_put).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+    ),
+)
+
+from distributed_worker import launch  # noqa: E402
+
+
+def test_two_process_distributed_matches_single():
+    from __graft_entry__ import _dryrun_dbs
+    from compairr_tpu.constants import SCORE_PRODUCT
+    from compairr_tpu.ops.engine import dense_matrix
+
+    d1, d2, spec = _dryrun_dbs()
+    single = dense_matrix(d1, d2, spec, SCORE_PRODUCT, False)
+    assert single.sum() > 0
+
+    results = launch(nproc=2, local_devices=4)
+    assert set(results) == {0, 1}
+    for pid, (sharded, ring) in results.items():
+        np.testing.assert_allclose(sharded, single, rtol=0, atol=0)
+        np.testing.assert_allclose(ring, single, rtol=0, atol=0)
