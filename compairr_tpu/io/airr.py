@@ -666,6 +666,9 @@ def _read_db_native(
         keep_names=opt.keep_columns_names,
         threads=opt.threads,
         shard=shard if shard is not None else (0, 1),
+        # interactive redraws during the (blocking) native parse;
+        # file-mode logs emit only the final 100% line either way
+        progress=None if logger.to_file else logger.progress_update,
     )
     if res.status != 0:
         _native_error(res, opt, filename, logger)

@@ -57,6 +57,9 @@ def load_library():
         ct.c_int,  # range_k
         ct.c_int,  # range_n
     ]
+    if hasattr(lib, "airr_parse_progress"):
+        lib.airr_parse_progress.restype = ct.c_int64
+        lib.airr_parse_progress.argtypes = []
     if hasattr(lib, "airr_drop_residues"):
         lib.airr_drop_residues.argtypes = [ct.c_void_p]
         lib.airr_drop_residues.restype = None
@@ -493,29 +496,55 @@ class NativeSession:
         keep_names: tuple,
         threads: int = 1,
         shard: tuple = (0, 1),
+        progress=None,
     ):
         lib = self.lib
         n_keep = len(keep_names)
         keep_arr = (ct.c_char_p * max(n_keep, 1))()
         for i, name in enumerate(keep_names):
             keep_arr[i] = name.encode("latin-1")
-        handle = lib.airr_parse(
-            self.handle,
-            filename.encode(),
-            int(nucleotides),
-            int(cdr3),
-            int(ignore_counts),
-            int(ignore_genes),
-            int(ignore_unknown),
-            int(ignore_empty),
-            int(require_sequence_id),
-            default_repertoire_id.encode("latin-1"),
-            keep_arr,
-            n_keep,
-            int(threads),
-            int(shard[0]),
-            int(shard[1]),
-        )
+
+        # interactive progress: ctypes releases the GIL for the
+        # blocking C parse, so a poller thread reads the library's
+        # atomic byte counter (~20 Hz -> a couple hundred redraws for
+        # a multi-second parse, matching the reference's granularity,
+        # util.cc:28). Skipped when no callback is given (-l file mode
+        # suppresses interim redraws anyway).
+        poller = None
+        stop = None
+        if progress is not None and hasattr(lib, "airr_parse_progress"):
+            import threading
+
+            stop = threading.Event()
+
+            def _poll():
+                while not stop.wait(0.05):
+                    progress(int(lib.airr_parse_progress()))
+
+            poller = threading.Thread(target=_poll, daemon=True)
+            poller.start()
+        try:
+            handle = lib.airr_parse(
+                self.handle,
+                filename.encode(),
+                int(nucleotides),
+                int(cdr3),
+                int(ignore_counts),
+                int(ignore_genes),
+                int(ignore_unknown),
+                int(ignore_empty),
+                int(require_sequence_id),
+                default_repertoire_id.encode("latin-1"),
+                keep_arr,
+                n_keep,
+                int(threads),
+                int(shard[0]),
+                int(shard[1]),
+            )
+        finally:
+            if poller is not None:
+                stop.set()
+                poller.join()
         return NativeResult(lib, handle, self, n_keep)
 
 

@@ -17,6 +17,7 @@
 // character) tuples; the Python wrapper renders the exact reference
 // message strings so formatting lives in one place.
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -274,6 +275,13 @@ struct Shard {
   int32_t shortest = INT32_MAX, longest = 0;
 };
 
+// bytes parsed so far across all shards of the in-flight parse; the
+// Python side polls airr_parse_progress() from a helper thread to
+// drive the interactive progress display (~200 redraws per phase,
+// like the reference's util.cc:32-70). Relaxed ordering: the value is
+// monotone and only read for display.
+static std::atomic<int64_t> g_parse_progress{0};
+
 // parse the body lines in [p, end) into the shard; stops at the first
 // error (recording the local line number)
 void parse_chunk(const char* p, const char* end, const Columns& cols,
@@ -288,7 +296,13 @@ void parse_chunk(const char* p, const char* end, const Columns& cols,
   // top of the growing output arenas in peak RSS
   const size_t kDropStride = 32u << 20;
   uintptr_t drop_from = ((uintptr_t)p + 4095) & ~(uintptr_t)4095;
+  const char* prog_mark = p;  // flushed to g_parse_progress per ~1 MB
   while (p < end) {
+    if ((size_t)(p - prog_mark) >= (1u << 20)) {
+      g_parse_progress.fetch_add(p - prog_mark,
+                                 std::memory_order_relaxed);
+      prog_mark = p;
+    }
     if ((uintptr_t)p >= drop_from + kDropStride) {
       uintptr_t upto = (uintptr_t)p & ~(uintptr_t)4095;
       madvise((void*)drop_from, upto - drop_from, MADV_DONTNEED);
@@ -450,6 +464,8 @@ void parse_chunk(const char* p, const char* end, const Columns& cols,
     sh->j_no.push_back(jno);
     sh->n++;
   }
+  if (p > prog_mark)
+    g_parse_progress.fetch_add(p - prog_mark, std::memory_order_relaxed);
 }
 
 template <typename T>
@@ -491,6 +507,7 @@ void* airr_parse(void* session_ptr, const char* filename,
   Options opt{(bool)nucleotides, (bool)cdr3,         (bool)ignore_counts,
               (bool)ignore_genes, (bool)ignore_unknown, (bool)ignore_empty,
               (bool)require_sequence_id};
+  g_parse_progress.store(0, std::memory_order_relaxed);
   Result* r = new Result();
 
   int fd = open(filename, O_RDONLY);
@@ -758,6 +775,12 @@ void* airr_parse(void* session_ptr, const char* filename,
 }
 
 // ---- result getters ----
+
+// bytes parsed by the in-flight airr_parse call (monotone; resets at
+// each parse start). Polled concurrently with the blocking parse.
+int64_t airr_parse_progress() {
+  return g_parse_progress.load(std::memory_order_relaxed);
+}
 
 int32_t airr_status(void* rp) { return static_cast<Result*>(rp)->status; }
 int64_t airr_err_lineno(void* rp) {
