@@ -254,8 +254,12 @@ def _kernel_metrics(tile):
     lmax = _round_up(max(d1.longest, d2.longest), 8)
     order_a, key_a, npad_a = pack_keys(d1, tile, True)
     order_b, key_b, npad_b = pack_keys(d2, tile, True)
-    da = device_args_raw(d1, order_a, npad_a, lmax, indels=False)
-    db = device_args_raw(d2, order_b, npad_b, lmax, indels=False)
+    da = device_args_raw(
+        d1, order_a, npad_a, lmax, indels=False, sort_key=key_a
+    )
+    db = device_args_raw(
+        d2, order_b, npad_b, lmax, indels=False, sort_key=key_b
+    )
     work = worklist_from_keys(key_a, d1.n, key_b, d2.n, 0, tile, tile)
     r1p = _round_up(d1.repertoire_count, 8)
     r2p = _round_up(d2.repertoire_count, 128)
@@ -345,7 +349,11 @@ def main():
             "COMPAIRR_BENCH_N", 24_205_557 if on_tpu else 8_192
         )
     )
-    tile = int(os.environ.get("COMPAIRR_BENCH_TILE", 256))
+    # 768 measured best on v5e for the v2 dense kernel (mfu 25.3% vs
+    # 14.4% at 512, 22.1% at 1024; identical checksums) — big enough to
+    # amortise per-program overhead, small enough to keep worklist
+    # padding and VMEM pressure down
+    tile = int(os.environ.get("COMPAIRR_BENCH_TILE", 768))
 
     t0 = time.perf_counter()
     wall, checksum, npairs = _headline(n, on_tpu)

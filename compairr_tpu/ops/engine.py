@@ -976,12 +976,16 @@ def dense_matrix(
         from .pallas_kernels import dense_matrix_pallas, device_args_raw
 
         order_a, key_a, npad_a = pack_keys(db1, tile_m, by_vjl)
-        da = device_args_raw(db1, order_a, npad_a, lmax, use_indels)
+        da = device_args_raw(
+            db1, order_a, npad_a, lmax, use_indels, sort_key=key_a
+        )
         if db2 is db1 and tile_m == tile_n:
             order_b, key_b, npad_b, db_dev = order_a, key_a, npad_a, da
         else:
             order_b, key_b, npad_b = pack_keys(db2, tile_n, by_vjl)
-            db_dev = device_args_raw(db2, order_b, npad_b, lmax, use_indels)
+            db_dev = device_args_raw(
+                db2, order_b, npad_b, lmax, use_indels, sort_key=key_b
+            )
         work = worklist_from_keys(
             key_a, db1.n, key_b, db2.n, delta, tile_m, tile_n
         )

@@ -29,6 +29,7 @@ Distance semantics identical to ops/engine.py:
 from __future__ import annotations
 
 from functools import lru_cache
+from typing import Optional
 
 import numpy as np
 
@@ -109,7 +110,7 @@ def _score_tile(ca, cb, score_int: int, ignore_counts: bool):
 _BAND = 24  # first-mismatch band width: sums of 2^0..2^-23 are exact f32
 
 
-def _first_mismatch(a_seq, b_seq, lpad: int):
+def _first_mismatch(oh_a, oh_b, lpad: int):
     """[TM, TN] index of the first aligned mismatch between every row
     pair (lpad when the padded rows agree everywhere) — the common
     prefix length, computed on the MXU instead of a per-position VPU
@@ -120,19 +121,21 @@ def _first_mismatch(a_seq, b_seq, lpad: int):
     exponent), which an i32 bitcast extracts exactly. Bands of 24
     positions keep every sum exactly representable for any lpad.
 
-    Operands run in bfloat16 (half the VMEM, double the MXU rate):
-    the weights are single powers of two within bf16's exponent range
-    and the one-hots are 0/1, so every product is exact, and the MXU
+    Takes _onehot-layout one-hot operands (shared with the Hamming
+    matmul — building them is the dominant per-tile VPU cost) and
+    casts to bfloat16 (half the VMEM, double the MXU rate): the
+    weights are single powers of two within bf16's exponent range and
+    the one-hots are 0/1, so every product is exact, and the MXU
     accumulates in f32 where sums of <= 24 distinct powers of two
     spanning 2^0..2^-23 fit the 24-bit mantissa exactly."""
-    oh_a = _onehot(a_seq, NCLASS).astype(jnp.bfloat16)
-    oh_b = _onehot(b_seq, NCLASS).astype(jnp.bfloat16)
+    oh_a = oh_a.astype(jnp.bfloat16)
+    oh_b = oh_b.astype(jnp.bfloat16)
     lanes = oh_a.shape[1]
     # _onehot puts feature (c, p) at lane c*lpad + p
     lane_pos = lax.broadcasted_iota(jnp.int32, (1, lanes), 1) % lpad
 
-    tm = a_seq.shape[0]
-    tn = b_seq.shape[0]
+    tm = oh_a.shape[0]
+    tn = oh_b.shape[0]
     pref = jnp.zeros((tm, tn), dtype=jnp.int32)
     alive = jnp.ones((tm, tn), dtype=jnp.bool_)
     for lo in range(0, lpad, _BAND):
@@ -184,6 +187,7 @@ def _match_tile_pallas(
     valid = (la > 0) & (lb > 0)
     len_pm1 = None
 
+    oh_a = oh_b = None
     if indel_only:
         assert indels, "indel_only tiles only exist on indel runs"
         match = jnp.zeros((a_seq.shape[0], b_seq.shape[0]), jnp.bool_)
@@ -201,9 +205,17 @@ def _match_tile_pallas(
 
     if indels:
         # one-indel criterion (variants.cc:197-216): common prefix +
-        # common suffix >= min(len) for |len difference| == 1
-        pref = _first_mismatch(a_seq, b_seq, lpad)
-        suf = _first_mismatch(a_rseq, b_rseq, lpad)
+        # common suffix >= min(len) for |len difference| == 1. The
+        # forward one-hots are shared with the Hamming matmul (built
+        # once per tile, not twice); only the reversed rows need their
+        # own build.
+        if oh_a is None:
+            oh_a = _onehot(a_seq, NCLASS)
+            oh_b = _onehot(b_seq, NCLASS)
+        pref = _first_mismatch(oh_a, oh_b, lpad)
+        suf = _first_mismatch(
+            _onehot(a_rseq, NCLASS), _onehot(b_rseq, NCLASS), lpad
+        )
         minlen = jnp.minimum(la + jnp.zeros_like(lb), lb)
         len_pm1 = jnp.abs(la - lb) == 1
         match = match | (len_pm1 & (pref + suf >= minlen))
@@ -404,7 +416,6 @@ def _dense_pallas_fn(
 def _make_dense_v2_kernel(
     *,
     differences: int,
-    ignore_genes: bool,
     fold_counts: bool,
     lpad: int,
     tile_m: int,
@@ -433,15 +444,11 @@ def _make_dense_v2_kernel(
         rows_ref,
         cols_ref,
         a_oh,
-        a_len,
-        a_v,
-        a_j,
+        a_key,
         a_rep,
         a_cnt,
         b_oh,
-        b_len,
-        b_v,
-        b_j,
+        b_key,
         b_rep,
         b_cnt,
         out_ref,
@@ -458,12 +465,13 @@ def _make_dense_v2_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        la = a_len[:].T  # [TM, 1]
-        lb = b_len[:]  # [1, TN]
-        match = (la == lb) & ((lpad - matches) <= differences)
-        if not ignore_genes:
-            match = match & (a_v[:].T == b_v[:]) & (a_j[:].T == b_j[:])
-        match = match & (la > 0) & (lb > 0)
+        # the match precondition (equal v, j, AND length — or just
+        # length with -g) is exactly bucket-key equality, one [TM, TN]
+        # compare instead of four. Pad rows carry key -1: pad-pad
+        # "matches" are harmless because a pad row's repertoire one-hot
+        # row is all zero in both reduction operands.
+        keq = a_key[:].T == b_key[:]
+        match = keq & (matches >= lpad - differences)
         m_bf = match.astype(jnp.bfloat16)
 
         oh1 = (
@@ -510,7 +518,6 @@ def _make_dense_v2_kernel(
 @lru_cache(maxsize=None)
 def _dense_v2_fn(
     differences: int,
-    ignore_genes: bool,
     fold_counts: bool,
     lpad: int,
     tile_m: int,
@@ -522,7 +529,6 @@ def _dense_v2_fn(
 ):
     kernel = _make_dense_v2_kernel(
         differences=differences,
-        ignore_genes=ignore_genes,
         fold_counts=fold_counts,
         lpad=lpad,
         tile_m=tile_m,
@@ -565,15 +571,11 @@ def _dense_v2_fn(
         grid=(n_tiles,),
         in_specs=[
             a_spec(ohw),  # a_oh
-            aT_spec(1),  # a_len
-            aT_spec(1),  # a_v
-            aT_spec(1),  # a_j
+            aT_spec(1),  # a_key
             aT_spec(1),  # a_rep
             aT_spec(1),  # a_cnt
             b_spec(ohw),  # b_oh
-            bT_spec(1),  # b_len
-            bT_spec(1),  # b_v
-            bT_spec(1),  # b_j
+            bT_spec(1),  # b_key
             bT_spec(1),  # b_rep
             bT_spec(1),  # b_cnt
         ],
@@ -596,10 +598,12 @@ def _dense_v2_fn(
 def _dense_v2_eligible(a_dev, b_dev, *, indels, score_int, ignore_counts):
     """The v2 kernel serves substitution-only runs whose score is the
     product family (the byte split needs counts < 2^16) or -f, when
-    both sides carry HBM one-hots."""
+    both sides carry HBM one-hots and an int32 fused bucket key."""
     from ..constants import SCORE_MH, SCORE_PRODUCT
 
     if indels or a_dev.get("oh") is None or b_dev.get("oh") is None:
+        return False
+    if a_dev.get("key32") is None or b_dev.get("key32") is None:
         return False
     if ignore_counts:
         return True
@@ -1335,14 +1339,17 @@ def _shrink(x: np.ndarray, sentinel: int, m: int) -> np.ndarray:
 
 
 def device_args_raw(db, order: np.ndarray, npad: int, lpad: int,
-                    indels: bool = True) -> dict:
+                    indels: bool = True,
+                    sort_key: Optional[np.ndarray] = None) -> dict:
     """Upload a SeqDB's raw arrays (plus one sentinel row) and derive
     the sorted kernel layouts on device (see _gather_derive_fn).
     `order` is pack_keys' permutation; padding rows map to the
     sentinel. Substitution-only sets within the OH_ROWS_MAX budget
     also get HBM-precomputed one-hot rows ("oh") for the v2 dense
     kernel; "cmax" carries the host-side count maximum for its
-    byte-split eligibility check."""
+    byte-split eligibility check. `sort_key` (pack_keys' sorted padded
+    key vector) uploads as an int32 [1, npad] row ("key32", pads -1)
+    when it fits — the v2 kernel's one-compare match precondition."""
     n = db.n
     pad_val = int(db.pad_value)
     m = _canon_src(n + 1)
@@ -1363,6 +1370,14 @@ def device_args_raw(db, order: np.ndarray, npad: int, lpad: int,
     )
     a, b = dict(a), dict(b)
     a["cmax"] = b["cmax"] = float(db.counts.max()) if n else 0.0
+    if (
+        with_oh
+        and sort_key is not None
+        and (n == 0 or int(sort_key[:n].max()) < (1 << 31))
+    ):
+        k32 = np.full(npad, -1, dtype=np.int32)
+        k32[:n] = sort_key[:n]
+        a["key32"] = b["key32"] = dev(k32.reshape(1, npad))
     return {"a": a, "b": b}
 
 
@@ -1445,15 +1460,13 @@ def dense_matrix_pallas_prepared(
         )
         if use_v2:
             fn = _dense_v2_fn(
-                differences, ignore_genes, not ignore_counts,
+                differences, not ignore_counts,
                 lpad, tile_m, tile_n, r1p, r2p, int(len(chunk)),
                 interpret,
             )
             args = (
-                a_dev["oh"], a_dev["len"], a_dev["v"], a_dev["j"],
-                a_dev["rep"], a_dev["cnt"],
-                b_dev["oh"], b_dev["len"], b_dev["v"], b_dev["j"],
-                b_dev["rep"], b_dev["cnt"],
+                a_dev["oh"], a_dev["key32"], a_dev["rep"], a_dev["cnt"],
+                b_dev["oh"], b_dev["key32"], b_dev["rep"], b_dev["cnt"],
             )
         else:
             fn = _dense_pallas_fn(
@@ -1508,22 +1521,18 @@ def _dense_pallas_chunk(
         indels=indels, score_int=score_int, ignore_counts=ignore_counts,
     ):
         fn = _dense_v2_fn(
-            differences, ignore_genes, not ignore_counts,
+            differences, not ignore_counts,
             lpad, tile_m, tile_n, r1p, r2p, int(len(rows)), interpret,
         )
         return fn(
             jax.device_put(rows, dev),
             jax.device_put(cols, dev),
             a_dev["oh"],
-            a_dev["len"],
-            a_dev["v"],
-            a_dev["j"],
+            a_dev["key32"],
             a_dev["rep"],
             a_dev["cnt"],
             b_dev["oh"],
-            b_dev["len"],
-            b_dev["v"],
-            b_dev["j"],
+            b_dev["key32"],
             b_dev["rep"],
             b_dev["cnt"],
         )
