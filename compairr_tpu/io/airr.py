@@ -669,6 +669,9 @@ def _read_db_native(
         # interactive redraws during the (blocking) native parse;
         # file-mode logs emit only the final 100% line either way
         progress=None if logger.to_file else logger.progress_update,
+        # merge writes the padded [n, lmax] matrix directly, fusing
+        # the packing pass into the parse
+        pack_padded=True,
     )
     if res.status != 0:
         _native_error(res, opt, filename, logger)
@@ -716,16 +719,27 @@ def _read_db_native(
     logger.progress_init("Indexing:         ", n)
     pad = 4 if opt.nucleotides else 20
     lmax = data["longest"] if n else 0
-    from .native import pack_rows_native
+    if data.get("packed_lmax", -1) >= 0 and n:
+        # the merge already emitted the padded [n, lmax] matrix
+        # (fused pack); view it in place — the _keepalive pins the
+        # native buffer, and drop_residues must NOT run
+        seqs = data["residues"].reshape(n, data["packed_lmax"])
+        data["residues"] = None
+    else:
+        from .native import pack_rows_native
 
-    seqs = pack_rows_native(data["residues"], data["lengths"], lmax, pad)
-    if seqs is None:
-        seqs = _pack_residues(data["residues"], data["lengths"], lmax, pad)
-    # the packed matrix now owns the residues; drop the parser's flat
-    # arena (it would otherwise double-store every residue — ~350 MB at
-    # Keck scale) after discarding the numpy view into it
-    data["residues"] = None
-    res.drop_residues()
+        seqs = pack_rows_native(
+            data["residues"], data["lengths"], lmax, pad
+        )
+        if seqs is None:
+            seqs = _pack_residues(
+                data["residues"], data["lengths"], lmax, pad
+            )
+        # the packed matrix now owns the residues; drop the parser's
+        # flat arena (it would otherwise double-store every residue —
+        # ~350 MB at Keck scale) after discarding the numpy view into it
+        data["residues"] = None
+        res.drop_residues()
     if n:
         logger.progress_update(n)
     logger.progress_done()

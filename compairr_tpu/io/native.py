@@ -56,7 +56,11 @@ def load_library():
         ct.c_int,  # n_threads
         ct.c_int,  # range_k
         ct.c_int,  # range_n
+        ct.c_int,  # pack_padded
     ]
+    if hasattr(lib, "airr_packed_lmax"):
+        lib.airr_packed_lmax.restype = ct.c_int64
+        lib.airr_packed_lmax.argtypes = [ct.c_void_p]
     if hasattr(lib, "airr_parse_progress"):
         lib.airr_parse_progress.restype = ct.c_int64
         lib.airr_parse_progress.argtypes = []
@@ -497,6 +501,7 @@ class NativeSession:
         threads: int = 1,
         shard: tuple = (0, 1),
         progress=None,
+        pack_padded: bool = False,
     ):
         lib = self.lib
         n_keep = len(keep_names)
@@ -540,6 +545,7 @@ class NativeSession:
                 int(threads),
                 int(shard[0]),
                 int(shard[1]),
+                int(pack_padded),
             )
         finally:
             if poller is not None:
@@ -603,6 +609,11 @@ class NativeResult:
         res_size = lib.airr_residues_size(h)
         residues = _np_from(lib.airr_residues(h), res_size, np.int8,
                             copy=False)
+        packed_lmax = (
+            int(lib.airr_packed_lmax(h))
+            if hasattr(lib, "airr_packed_lmax")
+            else -1
+        )
         lengths = _np_from(lib.airr_lengths(h), n, np.int32, copy=False)
         counts = _np_from(lib.airr_counts(h), n, np.int64, copy=False)
         rep_no = _np_from(lib.airr_rep_no(h), n, np.int32, copy=False)
@@ -653,6 +664,7 @@ class NativeResult:
             row_hash=row_hash,
             n=int(n),
             residues=residues,
+            packed_lmax=packed_lmax,
             lengths=lengths,
             counts=counts,
             rep_no=rep_no,

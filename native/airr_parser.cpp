@@ -20,6 +20,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
+#include <memory>
 #include <cstdlib>
 #include <cstring>
 #include <string>
@@ -148,7 +149,12 @@ struct Result {
   uint8_t missing_cols = 0;  // bitmask, see wrapper
 
   int64_t n = 0;
-  std::string residues;  // packed encoded residues
+  std::string residues;  // flat encoded residues (pack_padded == 0)
+  // pack_padded == 1: the merge writes the padded [n, lmax] row matrix
+  // directly (uninitialised alloc, rows memcpy'd from the shard
+  // arenas) — the consumer's separate packing pass disappears
+  std::unique_ptr<char[]> packed;
+  int64_t packed_lmax = -1;
   std::vector<uint64_t> row_hash;  // FNV-1a over encoded residues
   std::vector<int32_t> lengths;
   std::vector<int64_t> counts;
@@ -502,7 +508,7 @@ void* airr_parse(void* session_ptr, const char* filename,
                  int ignore_genes, int ignore_unknown, int ignore_empty,
                  int require_sequence_id, const char* default_repertoire_id,
                  const char** keep_names, int n_keep, int n_threads,
-                 int range_k, int range_n) {
+                 int range_k, int range_n, int pack_padded) {
   Session* session = static_cast<Session*>(session_ptr);
   Options opt{(bool)nucleotides, (bool)cdr3,         (bool)ignore_counts,
               (bool)ignore_genes, (bool)ignore_unknown, (bool)ignore_empty,
@@ -691,10 +697,31 @@ void* airr_parse(void* session_ptr, const char* filename,
     }
   }
   r->n = total_n;
-  r->residues.reserve(total_res);
-  for (Shard& s : shards) {
-    r->residues.append(s.residues);
-    std::string().swap(s.residues);
+  if (pack_padded && total_n) {
+    // fused pack: write padded [n, lmax] rows straight from the shard
+    // arenas (one pass instead of arena-concat + a later pack pass)
+    int64_t lmax = r->longest;
+    char padc = (char)(nucleotides ? 4 : 20);
+    r->packed.reset(new char[(size_t)(total_n * lmax)]);
+    r->packed_lmax = lmax;
+    char* dst = r->packed.get();
+    for (Shard& s : shards) {
+      const char* src = s.residues.data();
+      for (int64_t i = 0; i < s.n; i++) {
+        int32_t len = s.lengths[(size_t)i];
+        memcpy(dst, src, (size_t)len);
+        memset(dst + len, padc, (size_t)(lmax - len));
+        src += len;
+        dst += lmax;
+      }
+      std::string().swap(s.residues);
+    }
+  } else {
+    r->residues.reserve(total_res);
+    for (Shard& s : shards) {
+      r->residues.append(s.residues);
+      std::string().swap(s.residues);
+    }
   }
   concat(r->row_hash, shards, &Shard::row_hash);
   concat(r->lengths, shards, &Shard::lengths);
@@ -795,13 +822,21 @@ int32_t airr_missing_cols(void* rp) {
 }
 int64_t airr_n(void* rp) { return static_cast<Result*>(rp)->n; }
 int64_t airr_residues_size(void* rp) {
-  return (int64_t)static_cast<Result*>(rp)->residues.size();
+  Result* r = static_cast<Result*>(rp);
+  if (r->packed_lmax >= 0) return r->n * r->packed_lmax;
+  return (int64_t)r->residues.size();
 }
 const uint64_t* airr_row_hash(void* rp) {
   return static_cast<Result*>(rp)->row_hash.data();
 }
 const char* airr_residues(void* rp) {
-  return static_cast<Result*>(rp)->residues.data();
+  Result* r = static_cast<Result*>(rp);
+  return r->packed_lmax >= 0 ? r->packed.get() : r->residues.data();
+}
+// >= 0 when the merge produced the padded [n, lmax] matrix directly
+// (airr_residues then points at it, size n*lmax)
+int64_t airr_packed_lmax(void* rp) {
+  return static_cast<Result*>(rp)->packed_lmax;
 }
 const int32_t* airr_lengths(void* rp) {
   return static_cast<Result*>(rp)->lengths.data();
@@ -890,6 +925,8 @@ void airr_drop_residues(void* rp) {
   Result* r = static_cast<Result*>(rp);
   r->residues.clear();
   r->residues.shrink_to_fit();
+  r->packed.reset();
+  r->packed_lmax = -1;
 }
 
 // release the row-hash arena once no remaining path reads it
