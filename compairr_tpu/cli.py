@@ -506,9 +506,9 @@ def main(argv: Optional[list[str]] = None) -> int:
     # + gprof, src/Makefile:33-36; here: a JAX profiler trace)
     profile_dir = os.environ.get("COMPAIRR_PROFILE")
     if profile_dir:
-        import jax
+        from .utils.lazyjax import ensure_jax
 
-        trace_ctx = jax.profiler.trace(profile_dir)
+        trace_ctx = ensure_jax().profiler.trace(profile_dir)
     else:
         trace_ctx = contextlib.nullcontext()
 

@@ -35,10 +35,10 @@ from typing import Optional
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-from jax import lax
-
+# lazy proxies: host-only routes (exact join, pigeonhole, variant
+# join) never import jax, so the CLI launcher's deferred-plugin mode
+# skips the ~2 s accelerator-runtime import for them (utils/lazyjax)
+from ..utils.lazyjax import jax, jnp, lax
 from ..core.db import SeqDB
 from ..utils.progress import Logger
 from .sparse_host import (  # noqa: F401  (exact_match_groups re-exported)
@@ -100,9 +100,18 @@ class _PhaseTimer:
             print(f"[timing] {prefix}: {parts}", file=sys.stderr)
 
 
+_CACHE_ENABLED = False
+
+
 def _enable_compilation_cache() -> None:
     """Persist compiled executables across processes (TPU compiles via
-    the tunnel take minutes; the cache makes them one-time)."""
+    the tunnel take minutes; the cache makes them one-time). Called
+    from the device-path entries, not at import — importing this
+    module must stay jax-free for the host-only routes (lazyjax)."""
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    _CACHE_ENABLED = True
     import os as _os
 
     if _os.environ.get("COMPAIRR_NO_COMPILE_CACHE"):
@@ -122,9 +131,6 @@ def _enable_compilation_cache() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-
-
-_enable_compilation_cache()
 
 
 @dataclass(frozen=True)
@@ -925,6 +931,7 @@ def dense_matrix(
     engine: "pallas" (TPU kernel), "xla" (scan of fused tiles, any
     backend), or "auto" (pallas on TPU, xla elsewhere).
     """
+    _enable_compilation_cache()
     on_tpu = jax.default_backend() != "cpu"
     use_pallas = engine == "pallas" or (engine == "auto" and on_tpu)
     guard = os.environ.get("COMPAIRR_DENSE_EXACT", "1") != "0"
@@ -1286,6 +1293,7 @@ def prefetch_find_pairs(db1: SeqDB, db2: SeqDB, spec: MatchSpec) -> None:
         # candidate-budget overflow reaches the device (rare, and the
         # tile path then creates its own inputs)
         return
+    _enable_compilation_cache()
     on_tpu = jax.default_backend() != "cpu"
     if not on_tpu:
         return
@@ -1403,6 +1411,7 @@ def find_pairs(
 
     _note_route("tiles")
 
+    _enable_compilation_cache()
     on_tpu = jax.default_backend() != "cpu"
     tm = _PhaseTimer()
     tm.mark()

@@ -33,6 +33,10 @@ from typing import Optional
 
 import numpy as np
 
+from ..utils.lazyjax import ensure_jax
+
+ensure_jax()  # bootstrap a deferred accelerator plugin before binding
+
 import jax
 import jax.numpy as jnp
 from jax import lax
