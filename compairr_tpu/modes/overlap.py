@@ -143,8 +143,10 @@ def overlap(
     outfile: IO[str],
     pairsfile: Optional[IO[str]] = None,
 ) -> None:
-    from ..ops.engine import MatchSpec, find_pairs
+    from ..ops.engine import MatchSpec, _PhaseTimer, find_pairs
 
+    tm = _PhaseTimer()
+    tm.mark()
     genes = GeneTables()
 
     # ---- set 1 (overlap.cc:614-703) ----
@@ -166,6 +168,7 @@ def overlap(
     )
     logger.write("\n")
 
+    tm.lap("read1")
     stats1 = repertoire_stats(d1)
     order1 = d1.repertoire_order()
     _repertoire_table(d1, stats1, order1, logger)
@@ -199,6 +202,7 @@ def overlap(
             fatal("Repertoire set is missing repertoire_id.")
         same_set = True
 
+    tm.lap("read2")
     logger.write(f"Unique V genes:    {len(genes.v_names)}\n")
     logger.write(f"Unique J genes:    {len(genes.j_names)}\n")
 
@@ -216,6 +220,7 @@ def overlap(
     from ..ops.engine import prefetch_find_pairs
 
     prefetch_find_pairs(d1, d2, spec)
+    tm.lap("prefetch")
 
     # ---- duplicate warnings (overlap.cc:838-874) ----
     # at d=0 the match join needs the same (sequence, genes) grouping
@@ -343,6 +348,7 @@ def overlap(
                 logger, "Analysing:        ",
             )
     else:
+        tm.lap("dup_phase")
         idx1, idx2, dist = find_pairs(
             d1, d2, spec, logger, "Analysing:        ",
             exact_groups=exact_groups, vj_prep=vj_prep,
@@ -389,6 +395,7 @@ def overlap(
             if dist is not None:
                 dist = dist[perm]
 
+        tm.lap("find_pairs")
         scores = pair_scores(
             d1.counts[idx1], d2.counts[idx2], opt.score_int,
             opt.ignore_counts,
@@ -407,6 +414,7 @@ def overlap(
         if pairsfile is not None:
             _write_pairs(opt, pairsfile, d1, d2, idx1, idx2, dist)
 
+    tm.lap("accumulate")
     # ---- write results (overlap.cc:944-1039) ----
     if not opt.no_matrix:
         assert matrix is not None
@@ -464,4 +472,6 @@ def overlap(
         logger.progress_init("Writing results:  ", 1)
         logger.progress_done()
 
+    tm.lap("write")
+    tm.report("overlap phases")
     logger.write("\n")
