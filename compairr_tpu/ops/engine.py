@@ -1211,18 +1211,23 @@ def _pair_distances(
 
 
 def _sparse_inputs(db: SeqDB, tile: int, by_vjl: bool, lmax: int,
-                   on_tpu: bool, indels: bool = True):
+                   on_tpu: bool, indels: bool = True,
+                   pad_salt: int = 0):
     """Device args + host metadata for the sparse path. On TPU the raw
     arrays are uploaded immediately (async, overlapping the host key
     sort) and rows are gathered/reversed on device; on CPU the packed
     host arrays are used directly. Returns
     (xla_rows, pallas_a, pallas_b, orig, key, npad); the pallas dicts
-    are None on CPU."""
+    are None on CPU. pad_salt keys the fused pad band per set (0 for
+    set 1, 2 for set 2 — see device_rows_raw)."""
     if on_tpu:
         from .pallas_kernels import device_rows_raw
 
         order, key, npad = pack_keys(db, tile, by_vjl)
-        pa, pb = device_rows_raw(db, order, npad, lmax, indels)
+        pa, pb = device_rows_raw(
+            db, order, npad, lmax, indels, sort_key=key,
+            pad_salt=pad_salt,
+        )
         orig = np.full(npad, -1, dtype=np.int64)
         orig[: db.n] = order
         return None, pa, pb, orig, key, npad
@@ -1267,12 +1272,15 @@ def _pair_plan(db1: SeqDB, db2: SeqDB, spec: MatchSpec, on_tpu: bool):
 _SPARSE_PREFETCH: dict = {}
 
 
-def _sparse_inputs_cached(db, tile, by_vjl, lmax, on_tpu, indels):
-    key = (id(db), tile, by_vjl, lmax, on_tpu, indels)
+def _sparse_inputs_cached(db, tile, by_vjl, lmax, on_tpu, indels,
+                          pad_salt=0):
+    key = (id(db), tile, by_vjl, lmax, on_tpu, indels, pad_salt)
     hit = _SPARSE_PREFETCH.pop(key, None)
     if hit is not None and hit[0] is db:
         return hit[1]
-    return _sparse_inputs(db, tile, by_vjl, lmax, on_tpu, indels)
+    return _sparse_inputs(
+        db, tile, by_vjl, lmax, on_tpu, indels, pad_salt
+    )
 
 
 def prefetch_find_pairs(db1: SeqDB, db2: SeqDB, spec: MatchSpec) -> None:
@@ -1298,12 +1306,14 @@ def prefetch_find_pairs(db1: SeqDB, db2: SeqDB, spec: MatchSpec) -> None:
     if not on_tpu:
         return
     tile, _s, lmax, by_vjl, use_indels = _pair_plan(db1, db2, spec, True)
-    for db in ([db1] if db2 is db1 else [db1, db2]):
-        key = (id(db), tile, by_vjl, lmax, True, use_indels)
+    for salt, db in enumerate([db1] if db2 is db1 else [db1, db2]):
+        key = (id(db), tile, by_vjl, lmax, True, use_indels, 2 * salt)
         if key not in _SPARSE_PREFETCH:
             _SPARSE_PREFETCH[key] = (
                 db,
-                _sparse_inputs(db, tile, by_vjl, lmax, True, use_indels),
+                _sparse_inputs(
+                    db, tile, by_vjl, lmax, True, use_indels, 2 * salt
+                ),
             )
 
 
@@ -1420,7 +1430,7 @@ def find_pairs(
     )
     delta = 1 if use_indels else 0
     a_args, pa_a, _pb_a, orig_a, key_a, npad_a = _sparse_inputs_cached(
-        db1, tile, by_vjl, lmax, on_tpu, use_indels
+        db1, tile, by_vjl, lmax, on_tpu, use_indels, 0
     )
     if db2 is db1:
         b_args, pb_b, orig_b, key_b, npad_b = (
@@ -1428,7 +1438,7 @@ def find_pairs(
         )
     else:
         b_args, _pa_b, pb_b, orig_b, key_b, npad_b = _sparse_inputs_cached(
-            db2, tile, by_vjl, lmax, on_tpu, use_indels
+            db2, tile, by_vjl, lmax, on_tpu, use_indels, 2
         )
     tm.lap("inputs")
 

@@ -176,6 +176,8 @@ def _match_tile_pallas(
     tile_m: int,
     tile_n: int,
     indel_only: bool = False,
+    a_key=None,
+    b_key=None,
 ):
     """Shared in-kernel match mask (refs already loaded): one-hot int8
     MXU matmul Hamming + optional one-indel prefix/suffix check (also
@@ -183,12 +185,24 @@ def _match_tile_pallas(
     gene/length/validity masks. Returns (match bool [TM,TN],
     len_pm1 bool [TM,TN] or None).
 
+    With a_key/b_key ([TM,1]/[1,TN] int32 fused bucket keys, see
+    device_rows_raw) the whole length/v/j/validity chain collapses to
+    one compare: equal keys are the match precondition, keys differing
+    by exactly 1 are the one-indel length tolerance, and pad rows
+    (unique spaced keys in a high band) never key-match anything. The
+    a_len/a_v/... operands are unused then (callers pass dummies);
+    lengths for the indel minimum come from the key's low 16 bits.
+
     indel_only serves tiles classify_worklist proved contain no
     equal-key pair: the Hamming matmul is dead weight there and is
     skipped (2 matmuls per tile instead of 3)."""
-    la = a_len  # [TM, 1] int32
-    lb = b_len  # [1, TN] int32
-    valid = (la > 0) & (lb > 0)
+    use_key = a_key is not None
+    if use_key:
+        keq = a_key == b_key  # [TM, TN]
+    else:
+        la = a_len  # [TM, 1] int32
+        lb = b_len  # [1, TN] int32
+        valid = (la > 0) & (lb > 0)
     len_pm1 = None
 
     oh_a = oh_b = None
@@ -204,8 +218,10 @@ def _match_tile_pallas(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        mism = lpad - matches
-        match = (la == lb) & (mism <= differences)
+        if use_key:
+            match = keq & (matches >= lpad - differences)
+        else:
+            match = (la == lb) & ((lpad - matches) <= differences)
 
     if indels:
         # one-indel criterion (variants.cc:197-216): common prefix +
@@ -220,10 +236,18 @@ def _match_tile_pallas(
         suf = _first_mismatch(
             _onehot(a_rseq, NCLASS), _onehot(b_rseq, NCLASS), lpad
         )
+        if use_key:
+            la = a_key & 0xFFFF  # [TM, 1]; garbage for pads, but pads
+            lb = b_key & 0xFFFF  # never pass the key-distance test
+            dk = a_key - b_key
+            len_pm1 = (dk == 1) | (dk == -1)
+        else:
+            len_pm1 = jnp.abs(la - lb) == 1
         minlen = jnp.minimum(la + jnp.zeros_like(lb), lb)
-        len_pm1 = jnp.abs(la - lb) == 1
         match = match | (len_pm1 & (pref + suf >= minlen))
 
+    if use_key:
+        return match, len_pm1
     if not ignore_genes:
         match = match & (a_v == b_v) & (a_j == b_j)
     return match & valid, len_pm1
@@ -627,31 +651,30 @@ def _make_count_kernel(
     tile_m: int,
     tile_n: int,
     indel_only: bool = False,
+    use_key: bool = False,
 ):
-    def kernel(
-        rows_ref,
-        cols_ref,
-        a_seq,
-        a_rseq,
-        a_len,
-        a_v,
-        a_j,
-        a_orig,
-        b_seq,
-        b_rseq,
-        b_len,
-        b_v,
-        b_j,
-        b_orig,
-        out_ref,
-    ):
-        match, _ = _match_tile_pallas(
-            a_seq[:], a_rseq[:], a_len[:].T, a_v[:].T, a_j[:].T,
-            b_seq[:], b_rseq[:], b_len[:], b_v[:], b_j[:],
-            differences=differences, indels=indels,
-            ignore_genes=ignore_genes, lpad=lpad,
-            tile_m=tile_m, tile_n=tile_n, indel_only=indel_only,
-        )
+    def kernel(rows_ref, cols_ref, *refs):
+        if use_key:
+            (a_seq, a_rseq, a_key, a_orig,
+             b_seq, b_rseq, b_key, b_orig, out_ref) = refs
+            match, _ = _match_tile_pallas(
+                a_seq[:], a_rseq[:], None, None, None,
+                b_seq[:], b_rseq[:], None, None, None,
+                differences=differences, indels=indels,
+                ignore_genes=ignore_genes, lpad=lpad,
+                tile_m=tile_m, tile_n=tile_n, indel_only=indel_only,
+                a_key=a_key[:].T, b_key=b_key[:],
+            )
+        else:
+            (a_seq, a_rseq, a_len, a_v, a_j, a_orig,
+             b_seq, b_rseq, b_len, b_v, b_j, b_orig, out_ref) = refs
+            match, _ = _match_tile_pallas(
+                a_seq[:], a_rseq[:], a_len[:].T, a_v[:].T, a_j[:].T,
+                b_seq[:], b_rseq[:], b_len[:], b_v[:], b_j[:],
+                differences=differences, indels=indels,
+                ignore_genes=ignore_genes, lpad=lpad,
+                tile_m=tile_m, tile_n=tile_n, indel_only=indel_only,
+            )
         if exclude_self:
             match = match & (a_orig[:].T != b_orig[:])
         # 1024 consecutive programs share one (1024,) SMEM output
@@ -674,6 +697,7 @@ def _count_pallas_fn(
     n_tiles: int,
     interpret: bool = False,
     indel_only: bool = False,
+    use_key: bool = False,
 ):
     """Per-worklist-tile match counts on the MXU — phase 1 of sparse
     extraction. One program per tile; each writes its own [1,1] count
@@ -688,6 +712,7 @@ def _count_pallas_fn(
         tile_m=tile_m,
         tile_n=tile_n,
         indel_only=indel_only,
+        use_key=use_key,
     )
 
     def a_spec(width):
@@ -734,10 +759,19 @@ def _count_pallas_fn(
             memory_space=pltpu.VMEM,
         )
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles,),
-        in_specs=[
+    if use_key:
+        in_specs = [
+            a_spec(lpad),  # a_seq
+            a_spec(lpad) if indels else a_dummy(lpad),  # a_rseq
+            aT_spec(1),  # a_key
+            aT_spec(1),  # a_orig
+            b_row_spec(lpad),  # b_seq
+            b_row_spec(lpad) if indels else b_row_dummy(lpad),  # b_rseq
+            bT_spec(1),  # b_key
+            bT_spec(1),  # b_orig
+        ]
+    else:
+        in_specs = [
             a_spec(lpad),  # a_seq
             a_spec(lpad) if indels else a_dummy(lpad),  # a_rseq
             aT_spec(1),  # a_len
@@ -750,7 +784,11 @@ def _count_pallas_fn(
             bT_spec(1),  # b_v
             bT_spec(1),  # b_j
             bT_spec(1),  # b_orig
-        ],
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1024,),
             index_map=lambda i, rows, cols: (i // 1024,),
@@ -778,6 +816,7 @@ def _make_extract_kernel(
     tile_m: int,
     tile_n: int,
     indel_only: bool = False,
+    use_key: bool = False,
 ):
     """Phase-2 kernel: per worklist tile, the match mask packed into
     uint32 bit-words (32 columns per word). The packing runs on the
@@ -786,30 +825,28 @@ def _make_extract_kernel(
     lo|hi<<16 reassembles the 32-bit words."""
     wpr = tile_n // 32
 
-    def kernel(
-        rows_ref,
-        cols_ref,
-        a_seq,
-        a_rseq,
-        a_len,
-        a_v,
-        a_j,
-        a_orig,
-        b_seq,
-        b_rseq,
-        b_len,
-        b_v,
-        b_j,
-        b_orig,
-        out_ref,
-    ):
-        match, _ = _match_tile_pallas(
-            a_seq[:], a_rseq[:], a_len[:].T, a_v[:].T, a_j[:].T,
-            b_seq[:], b_rseq[:], b_len[:], b_v[:], b_j[:],
-            differences=differences, indels=indels,
-            ignore_genes=ignore_genes, lpad=lpad,
-            tile_m=tile_m, tile_n=tile_n, indel_only=indel_only,
-        )
+    def kernel(rows_ref, cols_ref, *refs):
+        if use_key:
+            (a_seq, a_rseq, a_key, a_orig,
+             b_seq, b_rseq, b_key, b_orig, out_ref) = refs
+            match, _ = _match_tile_pallas(
+                a_seq[:], a_rseq[:], None, None, None,
+                b_seq[:], b_rseq[:], None, None, None,
+                differences=differences, indels=indels,
+                ignore_genes=ignore_genes, lpad=lpad,
+                tile_m=tile_m, tile_n=tile_n, indel_only=indel_only,
+                a_key=a_key[:].T, b_key=b_key[:],
+            )
+        else:
+            (a_seq, a_rseq, a_len, a_v, a_j, a_orig,
+             b_seq, b_rseq, b_len, b_v, b_j, b_orig, out_ref) = refs
+            match, _ = _match_tile_pallas(
+                a_seq[:], a_rseq[:], a_len[:].T, a_v[:].T, a_j[:].T,
+                b_seq[:], b_rseq[:], b_len[:], b_v[:], b_j[:],
+                differences=differences, indels=indels,
+                ignore_genes=ignore_genes, lpad=lpad,
+                tile_m=tile_m, tile_n=tile_n, indel_only=indel_only,
+            )
         if exclude_self:
             match = match & (a_orig[:].T != b_orig[:])
         mf = match.astype(jnp.float32)  # [TM, TN]
@@ -851,6 +888,7 @@ def _extract_pallas_fn(
     k: int,
     interpret: bool = False,
     indel_only: bool = False,
+    use_key: bool = False,
 ):
     """Packed-word extraction for one slab: the Pallas kernel emits
     [n_tiles, TM, TN/32] uint32 match words; the fused XLA epilogue
@@ -865,6 +903,7 @@ def _extract_pallas_fn(
         tile_m=tile_m,
         tile_n=tile_n,
         indel_only=indel_only,
+        use_key=use_key,
     )
     wpr = tile_n // 32
 
@@ -912,10 +951,19 @@ def _extract_pallas_fn(
             memory_space=pltpu.VMEM,
         )
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles,),
-        in_specs=[
+    if use_key:
+        in_specs = [
+            a_spec(lpad),  # a_seq
+            a_spec(lpad) if indels else a_dummy(lpad),  # a_rseq
+            aT_spec(1),  # a_key
+            aT_spec(1),  # a_orig
+            b_row_spec(lpad),  # b_seq
+            b_row_spec(lpad) if indels else b_row_dummy(lpad),  # b_rseq
+            bT_spec(1),  # b_key
+            bT_spec(1),  # b_orig
+        ]
+    else:
+        in_specs = [
             a_spec(lpad),  # a_seq
             a_spec(lpad) if indels else a_dummy(lpad),  # a_rseq
             aT_spec(1),  # a_len
@@ -928,7 +976,11 @@ def _extract_pallas_fn(
             bT_spec(1),  # b_v
             bT_spec(1),  # b_j
             bT_spec(1),  # b_orig
-        ],
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, tile_m, wpr),
             index_map=lambda i, rows, cols: (i, 0, 0),
@@ -976,14 +1028,24 @@ def extract_tiles_pallas(
     (word_indices, word_bits, count)."""
     lpad = pa["seqs"].shape[1]
     dev = _device_of(pa["seqs"])
+    use_key = (
+        pa.get("key32") is not None and pb.get("key32") is not None
+    )
     fn = _extract_pallas_fn(
         differences, indels, ignore_genes, exclude_self,
         lpad, tile_m, tile_n, int(len(slab)), k, interpret, indel_only,
+        use_key,
     )
     rows = jax.device_put((slab[:, 0] // tile_m).astype(np.int32), dev)
     cols = jax.device_put((slab[:, 1] // tile_n).astype(np.int32), dev)
     a_rseq = pa["rseqs"] if indels else _dummy_i8((tile_m, lpad), dev)
     b_rseq = pb["rseqs"] if indels else _dummy_i8((tile_n, lpad), dev)
+    if use_key:
+        return fn(
+            rows, cols,
+            pa["seqs"], a_rseq, pa["key32"], pa["orig"],
+            pb["seqs"], b_rseq, pb["key32"], pb["orig"],
+        )
     return fn(
         rows, cols,
         pa["seqs"], a_rseq, pa["len"], pa["v"], pa["j"], pa["orig"],
@@ -1058,11 +1120,20 @@ def count_tiles_pallas(
     dev = _device_of(pa["seqs"])
     a_rseq = pa["rseqs"] if indels else _dummy_i8((tile_m, lpad), dev)
     b_rseq = pb["rseqs"] if indels else _dummy_i8((tile_n, lpad), dev)
-    args = (
-        pa["seqs"], a_rseq, pa["len"], pa["v"], pa["j"], pa["orig"],
-        pb["seqs"], b_rseq, pb["len"], pb["v"],
-        pb["j"], pb["orig"],
+    use_key = (
+        pa.get("key32") is not None and pb.get("key32") is not None
     )
+    if use_key:
+        args = (
+            pa["seqs"], a_rseq, pa["key32"], pa["orig"],
+            pb["seqs"], b_rseq, pb["key32"], pb["orig"],
+        )
+    else:
+        args = (
+            pa["seqs"], a_rseq, pa["len"], pa["v"], pa["j"], pa["orig"],
+            pb["seqs"], b_rseq, pb["len"], pb["v"],
+            pb["j"], pb["orig"],
+        )
     outs = []
     for chunk, c in _chunk_worklist(
         work, tile_m, tile_n, npad_a, npad_b, 1024
@@ -1070,6 +1141,7 @@ def count_tiles_pallas(
         fn = _count_pallas_fn(
             differences, indels, ignore_genes, exclude_self,
             lpad, tile_m, tile_n, int(len(chunk)), interpret, indel_only,
+            use_key,
         )
         rows = jax.device_put((chunk[:, 0] // tile_m).astype(np.int32), dev)
         cols = jax.device_put((chunk[:, 1] // tile_n).astype(np.int32), dev)
@@ -1308,20 +1380,36 @@ def _canon_src(n: int) -> int:
     return canon_rows(n, 1024)
 
 
+_KEY_FUSE_MAX = 1 << 29  # real keys must stay below the pad-key band
+
+
 def device_rows_raw(db, order: np.ndarray, npad: int, lpad: int,
-                    indels: bool = True):
+                    indels: bool = True,
+                    sort_key: Optional[np.ndarray] = None,
+                    pad_salt: int = 0):
     """Upload a SeqDB's raw arrays and derive the sorted layouts on
     device — the sparse-path twin of device_args_raw. Returns
     (pallas_a_dict, pallas_b_dict); with indels=False the reversed and
     transposed residue layouts are None (the kernels take dummy
-    blocks)."""
+    blocks).
+
+    `sort_key` (pack_keys' sorted padded key vector) additionally
+    uploads an int32 [1, npad] "key32" row when every real key fits
+    below 2^29: the count/extract kernels then replace the
+    length/v/j/validity mask chain with ONE key compare (equal keys =
+    match precondition; |difference| == 1 = one-indel length
+    tolerance). Pad rows get unique keys spaced 4 apart in a band far
+    above the real keys; `pad_salt` (0 for set 1, 2 for set 2) offsets
+    the two sets' pad bands so cross-set pad differences are always
+    2 mod 4 — never 0 or +-1 — and no pad ever key-matches anything,
+    with no separate validity mask."""
     n = db.n
     pad_val = int(db.pad_value)
     m = _canon_src(n + 1)
     order_full = np.full(npad, n, dtype=np.int32)
     order_full[:n] = order
     dev = jax.device_put
-    return _gather_sparse_fn(pad_val, lpad, indels)(
+    pa, pb = _gather_sparse_fn(pad_val, lpad, indels)(
         dev(_packed_upload(db, m, lpad, pad_val)),
         dev(_shrink(db.lengths, -1, m)),
         dev(_shrink(db.v_no, -1, m)),
@@ -1329,6 +1417,17 @@ def device_rows_raw(db, order: np.ndarray, npad: int, lpad: int,
         jnp.int32(n),
         dev(order_full),
     )
+    pa, pb = dict(pa), dict(pb)
+    if sort_key is not None and (
+        n == 0 or int(sort_key[:n].max()) < _KEY_FUSE_MAX
+    ):
+        k32 = np.empty(npad, dtype=np.int32)
+        k32[:n] = sort_key[:n]
+        k32[n:] = (_KEY_FUSE_MAX + pad_salt) + 4 * np.arange(
+            npad - n, dtype=np.int32
+        )
+        pa["key32"] = pb["key32"] = dev(k32.reshape(1, npad))
+    return pa, pb
 
 
 def _shrink(x: np.ndarray, sentinel: int, m: int) -> np.ndarray:

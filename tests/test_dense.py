@@ -242,8 +242,11 @@ def test_pallas_count_kernel_matches_xla(dbs, d, indels, xself):
 
     oa, ka, na = pack_keys(d1, 128, True)
     ob, kb, nb = pack_keys(d2, 128, True)
-    pa, _ = device_rows_raw(d1, oa, na, lmax)
-    _, pb = device_rows_raw(d2, ob, nb, lmax)
+    # sort_key uploads the fused bucket-key row, so these parity
+    # tests cross-check the key-fused kernels against the legacy
+    # mask-chain XLA oracle
+    pa, _ = device_rows_raw(d1, oa, na, lmax, sort_key=ka, pad_salt=0)
+    _, pb = device_rows_raw(d2, ob, nb, lmax, sort_key=kb, pad_salt=2)
     psa = pack_set(d1, lmax, 128, True)
     psb = pack_set(d2, lmax, 128, True)
     dev = jax.device_put
@@ -303,8 +306,11 @@ def test_pallas_extract_kernel_matches_xla(dbs, d, indels, xself):
 
     oa, ka, na = pack_keys(d1, 128, True)
     ob, kb, nb = pack_keys(d2, 128, True)
-    pa, _ = device_rows_raw(d1, oa, na, lmax)
-    _, pb = device_rows_raw(d2, ob, nb, lmax)
+    # sort_key uploads the fused bucket-key row, so these parity
+    # tests cross-check the key-fused kernels against the legacy
+    # mask-chain XLA oracle
+    pa, _ = device_rows_raw(d1, oa, na, lmax, sort_key=ka, pad_salt=0)
+    _, pb = device_rows_raw(d2, ob, nb, lmax, sort_key=kb, pad_salt=2)
     psa = pack_set(d1, lmax, 128, True)
     psb = pack_set(d2, lmax, 128, True)
     import jax as _jax
