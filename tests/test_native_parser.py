@@ -307,3 +307,50 @@ def test_mt_grouping_parity():
     assert seq_pieces is not None and mt_pieces is not None
     np.testing.assert_array_equal(seq_pieces[0], mt_pieces[0])
     assert seq_pieces[1] == mt_pieces[1]
+
+
+def test_parse_progress_counter(tmp_path):
+    """The native parser's byte-progress counter must cover the whole
+    body by parse end (the interactive poller reads it concurrently;
+    here the deterministic final value is asserted) and the padded
+    fused-pack matrix must match the separate packing path."""
+    from compairr_tpu.io.native import NativeSession, load_library
+
+    lib = load_library()
+    if lib is None or not hasattr(lib, "airr_parse_progress"):
+        import pytest
+
+        pytest.skip("native parser without progress support")
+    path = make_tsv(str(tmp_path / "p.tsv"), 20000, 4, seed=17)
+    seen = []
+    s = NativeSession(lib)
+    res = s.parse(
+        path, nucleotides=False, cdr3=False, ignore_counts=False,
+        ignore_genes=False, ignore_unknown=False, ignore_empty=False,
+        require_sequence_id=True, default_repertoire_id="X",
+        keep_names=(), threads=3, progress=seen.append,
+        pack_padded=True,
+    )
+    assert res.status == 0
+    data = res.arrays()
+    total = int(lib.airr_parse_progress())
+    with open(path, "rb") as f:
+        header_len = len(f.readline())
+    assert total == os.path.getsize(path) - header_len
+    # fused-pack matrix == flat arena + host pack
+    s2 = NativeSession(lib)
+    res2 = s2.parse(
+        path, nucleotides=False, cdr3=False, ignore_counts=False,
+        ignore_genes=False, ignore_unknown=False, ignore_empty=False,
+        require_sequence_id=True, default_repertoire_id="X",
+        keep_names=(), threads=1, pack_padded=False,
+    )
+    d2 = res2.arrays()
+    from compairr_tpu.io.native import pack_rows_native
+
+    n = data["n"]
+    lmax = data["packed_lmax"]
+    assert lmax == d2["longest"]
+    packed = data["residues"].reshape(n, lmax)
+    ref = pack_rows_native(d2["residues"], d2["lengths"], lmax, 20)
+    np.testing.assert_array_equal(packed, ref)
