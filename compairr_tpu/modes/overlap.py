@@ -219,7 +219,10 @@ def overlap(
     # host-side duplicate check below — tens of seconds at 24M rows
     from ..ops.engine import prefetch_find_pairs
 
-    prefetch_find_pairs(d1, d2, spec)
+    prefetch_find_pairs(
+        d1, d2, spec,
+        want_dist=pairsfile is not None and opt.distance,
+    )
     tm.lap("prefetch")
 
     # ---- duplicate warnings (overlap.cc:838-874) ----

@@ -1271,6 +1271,12 @@ def _pair_plan(db1: SeqDB, db2: SeqDB, spec: MatchSpec, on_tpu: bool):
 # prefetch and find_pairs) don't pin device HBM past the next run.
 _SPARSE_PREFETCH: dict = {}
 
+# full-result prefetch for the tile-engine route (indel runs): the
+# whole find_pairs call runs on the worker, so the device count/extract
+# phases genuinely overlap the host duplicate-check phase.
+# key -> (db1, db2, thread, holder)
+_RESULT_PREFETCH: dict = {}
+
 
 def _sparse_inputs_cached(db, tile, by_vjl, lmax, on_tpu, indels,
                           pad_salt=0):
@@ -1286,7 +1292,8 @@ def _sparse_inputs_cached(db, tile, by_vjl, lmax, on_tpu, indels,
     )
 
 
-def prefetch_find_pairs(db1: SeqDB, db2: SeqDB, spec: MatchSpec) -> None:
+def prefetch_find_pairs(db1: SeqDB, db2: SeqDB, spec: MatchSpec,
+                        want_dist: bool = False) -> None:
     """Start the raw uploads + device derive for a subsequent
     find_pairs call ON A WORKER THREAD. The CLI calls this right after
     reading the input files; the host-side staging, the (first-run)
@@ -1295,8 +1302,14 @@ def prefetch_find_pairs(db1: SeqDB, db2: SeqDB, spec: MatchSpec) -> None:
     measured ~30 s of wall at Keck scale when done inline, because
     jax.device_put and jit tracing/compilation block the caller even
     though the device work itself is async. The transfer/compile waits
-    release the GIL, so the overlap is real even on one vCPU."""
+    release the GIL, so the overlap is real even on one vCPU.
+
+    Indel runs (always the tile-engine route) prefetch the WHOLE
+    find_pairs result instead: the device count/extract phases run
+    while the host does its duplicate check, and the later find_pairs
+    call just joins the worker."""
     _SPARSE_PREFETCH.clear()
+    _RESULT_PREFETCH.clear()
     if spec.differences == 0:
         return  # exact path is a host hash join; nothing to upload
     mode = os.environ.get("COMPAIRR_PIGEONHOLE", "1")
@@ -1313,6 +1326,26 @@ def prefetch_find_pairs(db1: SeqDB, db2: SeqDB, spec: MatchSpec) -> None:
     if not on_tpu:
         return
     import threading
+
+    if spec.indels and spec.differences == 1:
+        key = (id(db1), id(db2), spec, want_dist)
+        holder = [None]
+
+        def full_work():
+            try:
+                holder[0] = find_pairs(
+                    db1, db2, spec, want_dist=want_dist
+                )
+            except Exception:
+                holder[0] = None  # find_pairs recomputes inline
+
+        # insert BEFORE start so the worker's own find_pairs call sees
+        # the entry and the current-thread check (not a missing key)
+        # keeps it computing
+        thread = threading.Thread(target=full_work, daemon=True)
+        _RESULT_PREFETCH[key] = (db1, db2, thread, holder)
+        thread.start()
+        return
 
     tile, _s, lmax, by_vjl, use_indels = _pair_plan(db1, db2, spec, True)
     for salt, db in enumerate([db1] if db2 is db1 else [db1, db2]):
@@ -1377,6 +1410,29 @@ def find_pairs(
     byproduct array, depending on route) — only the pairs file with
     --distance ever reads it.
     """
+    # a full-result prefetch (indel tile route) may already hold the
+    # answer — join the worker instead of recomputing
+    import threading as _threading
+
+    rkey = (id(db1), id(db2), spec, want_dist)
+    hit = _RESULT_PREFETCH.get(rkey)
+    if (
+        hit is not None
+        and hit[0] is db1
+        and hit[1] is db2
+        # the worker's own find_pairs call must compute, not join itself
+        and hit[2] is not _threading.current_thread()
+    ):
+        _RESULT_PREFETCH.pop(rkey, None)
+        _d1, _d2, thread, holder = hit
+        thread.join()
+        if holder[0] is not None:
+            if logger is not None and progress_prompt is not None:
+                logger.progress_init(progress_prompt, 1)
+                logger.progress_update(1)
+                logger.progress_done()
+            return holder[0]
+
     if spec.differences == 0:
         _note_route("exact")
         return _find_pairs_exact(
