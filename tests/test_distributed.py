@@ -13,7 +13,7 @@ import os
 import sys
 
 import numpy as np
-import pytest
+
 
 sys.path.insert(
     0,
