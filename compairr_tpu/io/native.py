@@ -520,6 +520,11 @@ class NativeSession:
         if progress is not None and hasattr(lib, "airr_parse_progress"):
             import threading
 
+            # reset BEFORE the poller starts: its first poll can win
+            # the race against airr_parse's own reset and would then
+            # report the previous file's byte count
+            if hasattr(lib, "airr_parse_progress_reset"):
+                lib.airr_parse_progress_reset()
             stop = threading.Event()
 
             def _poll():

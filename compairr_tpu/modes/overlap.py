@@ -216,13 +216,18 @@ def overlap(
         ignore_genes=opt.ignore_genes,
     )
     # start the (async) device uploads now so they overlap the
-    # host-side duplicate check below — tens of seconds at 24M rows
-    from ..ops.engine import prefetch_find_pairs
+    # host-side duplicate check below — tens of seconds at 24M rows.
+    # COMPAIRR_ENGINE=dense never consumes the sparse prefetch (and an
+    # indel prefetch would compute a full find_pairs nobody joins,
+    # contending with the dense kernels for the same chip) — skip it.
+    use_dense = _os.environ.get("COMPAIRR_ENGINE", "").lower() == "dense"
+    if not use_dense:
+        from ..ops.engine import prefetch_find_pairs
 
-    prefetch_find_pairs(
-        d1, d2, spec,
-        want_dist=pairsfile is not None and opt.distance,
-    )
+        prefetch_find_pairs(
+            d1, d2, spec,
+            want_dist=pairsfile is not None and opt.distance,
+        )
     tm.lap("prefetch")
 
     # ---- duplicate warnings (overlap.cc:838-874) ----
@@ -321,7 +326,6 @@ def overlap(
     # ratio scores are f32-rounded here — the sparse default remains
     # the byte-exact path. Pairs files and existence mode need the
     # matched pair list and stay on the sparse path by construction.
-    use_dense = _os.environ.get("COMPAIRR_ENGINE", "").lower() == "dense"
     if use_dense and (
         not opt.matrix or pairsfile is not None or opt.no_matrix
     ):

@@ -931,6 +931,14 @@ def dense_matrix(
     engine: "pallas" (TPU kernel), "xla" (scan of fused tiles, any
     backend), or "auto" (pallas on TPU, xla elsewhere).
     """
+    if spec.exclude_self:
+        # the dense kernels do not implement self-exclusion (only the
+        # sparse extraction carries per-row original indices); a mixed
+        # device/host-tile run would silently disagree with itself
+        raise ValueError(
+            "dense_matrix does not support exclude_self specs; use "
+            "find_pairs (the sparse engine) for cluster-style matching"
+        )
     _enable_compilation_cache()
     on_tpu = jax.default_backend() != "cpu"
     use_pallas = engine == "pallas" or (engine == "auto" and on_tpu)

@@ -43,6 +43,13 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# device-only module: enable the persistent compile cache for direct
+# consumers (bench's prepared dense path) that never enter ops.engine's
+# device entry points
+from .engine import _enable_compilation_cache
+
+_enable_compilation_cache()
+
 # One-hot channels: residue codes are 0..19 aa / 0..3 nt plus the pad
 # code (db.pad_value = 20/4), so 21 classes cover every operand. The
 # matmul contraction width is NCLASS*lpad lanes, padded to 128-lane
@@ -1423,7 +1430,10 @@ def device_rows_raw(db, order: np.ndarray, npad: int, lpad: int,
     ):
         k32 = np.empty(npad, dtype=np.int32)
         k32[:n] = sort_key[:n]
-        k32[n:] = (_KEY_FUSE_MAX + pad_salt) + 4 * np.arange(
+        # band starts at MAX+2 so even a real key of exactly MAX-1 is
+        # at distance >= 3 from every pad key (distance 1 would make a
+        # pad an indel candidate whose garbage minlen trivially matches)
+        k32[n:] = (_KEY_FUSE_MAX + 2 + pad_salt) + 4 * np.arange(
             npad - n, dtype=np.int32
         )
         pa["key32"] = pb["key32"] = dev(k32.reshape(1, npad))

@@ -36,12 +36,18 @@ from ..ops.engine import (
     TILE_N,
     _F32_EXACT_LIMIT,
     _block_rep_stats,
+    _enable_compilation_cache,
     _host_tiles_matrix,
     _round_up,
     _tile_exact_bounds,
     dense_tile_contrib,
     pack_set,
 )
+
+# this module is device-only (jax already imported above): make the
+# persistent compile cache cover its shard_map jits even when the
+# engine's device entry points were never hit in this process
+_enable_compilation_cache()
 
 
 def initialize_distributed(
@@ -173,6 +179,11 @@ def dense_matrix_sharded(
     tile_n: int = TILE_N,
 ) -> np.ndarray:
     """[R1, R2] overlap matrix computed SPMD over a 1-D device mesh."""
+    if spec.exclude_self:
+        raise ValueError(
+            "dense paths do not support exclude_self specs; use "
+            "find_pairs (the sparse engine) for cluster-style matching"
+        )
     devices = list(devices if devices is not None else jax.devices())
     n_shards = len(devices)
     mesh = Mesh(np.asarray(devices), ("shard",))
@@ -391,6 +402,11 @@ def dense_matrix_ring(
     pattern. Per-device set-2 memory is 1/n of dense_matrix_sharded's
     replicated copy; per-step compute overlaps the next block's
     permute (XLA schedules the collective asynchronously)."""
+    if spec.exclude_self:
+        raise ValueError(
+            "dense paths do not support exclude_self specs; use "
+            "find_pairs (the sparse engine) for cluster-style matching"
+        )
     devices = list(devices if devices is not None else jax.devices())
     n_shards = len(devices)
     mesh = Mesh(np.asarray(devices), ("shard",))

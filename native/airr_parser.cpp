@@ -809,6 +809,13 @@ int64_t airr_parse_progress() {
   return g_parse_progress.load(std::memory_order_relaxed);
 }
 
+// pre-parse reset for the poller: without it, a poll racing ahead of
+// airr_parse's own reset could report the PREVIOUS file's byte count
+// (jumping the progress bar to 100% and suppressing real updates)
+void airr_parse_progress_reset() {
+  g_parse_progress.store(0, std::memory_order_relaxed);
+}
+
 int32_t airr_status(void* rp) { return static_cast<Result*>(rp)->status; }
 int64_t airr_err_lineno(void* rp) {
   return static_cast<Result*>(rp)->err_lineno;
