@@ -95,6 +95,16 @@ def _one_trial(tmp_path, it: int) -> None:
     else:
         inputs = [a, b] if rng.random() < 0.8 else [a]
 
+    # dense-engine trials: matrix runs without pairs files, excluding
+    # ratio scores (inherently f32-rounded on the dense path; every
+    # other mode must stay byte-exact under the exactness guard)
+    dense = (
+        cmd == "-m"
+        and not pairs
+        and "ratio" not in flags
+        and rng.random() < 0.35
+    )
+
     ref_args = [REF_BIN, *flags, *inputs, "-o", str(tmp_path / "ref.tsv")]
     our_args = [
         sys.executable, "-m", "compairr_tpu", *flags, *inputs,
@@ -104,9 +114,18 @@ def _one_trial(tmp_path, it: int) -> None:
         ref_args += ["-p", str(tmp_path / "refp.tsv")]
         our_args += ["-p", str(tmp_path / "ourp.tsv")]
     r1 = subprocess.run(ref_args, capture_output=True, text=True)
+    env = {
+        **os.environ,
+        # prepend — replacing PYTHONPATH drops the TPU plugin path
+        "PYTHONPATH": "/root/repo:" + os.environ.get("PYTHONPATH", ""),
+    }
+    if dense:
+        env["COMPAIRR_ENGINE"] = "dense"
+    else:
+        env.pop("COMPAIRR_ENGINE", None)
     r2 = subprocess.run(
         our_args, capture_output=True, text=True, cwd="/root/repo",
-        env={**os.environ, "PYTHONPATH": "/root/repo"},
+        env=env,
     )
     assert r1.returncode == r2.returncode, (
         f"flags={flags} ref rc={r1.returncode} ours rc={r2.returncode}\n"
