@@ -128,7 +128,15 @@ def _enable_compilation_cache() -> None:
         )
         _os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # 0, not the usual ~1s floor: under the tunnel's remote-compile
+        # mode the CLIENT-side compile of a Pallas kernel takes ~0.5 s
+        # (it only serializes), while the real compile happens SERVER-
+        # side at first execution and costs 100-800 s. A 1 s floor
+        # filtered exactly those kernels out of the persistent cache,
+        # so every CLI process re-paid the server compile; with the
+        # entry written, a cache hit skips it entirely (measured 0.26 s
+        # first dispatch vs 399 s on a miss).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 
