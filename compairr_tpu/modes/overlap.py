@@ -23,7 +23,7 @@ from typing import IO, Optional
 import numpy as np
 
 from ..config import Options
-from ..constants import MAXDIFF_HASH
+from ..constants import MAXDIFF_HASH, SCORE_RATIO
 from ..core.db import GeneTables, SeqDB, repertoire_stats
 from ..core.exact import count_duplicates
 from ..core.score import fmt, pair_scores
@@ -221,6 +221,16 @@ def overlap(
     # indel prefetch would compute a full find_pairs nobody joins,
     # contending with the dense kernels for the same chip) — skip it.
     use_dense = _os.environ.get("COMPAIRR_ENGINE", "").lower() == "dense"
+    if use_dense and opt.score_int == SCORE_RATIO:
+        # ratio sums are not covered by the dense f32 exactness guard
+        # (engine._plan_exact_chunks skips non-integer score modes), so
+        # dense ratio output would silently drift from the reference —
+        # route it back to the byte-exact sparse path instead.
+        logger.write(
+            "Warning: COMPAIRR_ENGINE=dense does not support the ratio "
+            "score exactly; using the default engine\n"
+        )
+        use_dense = False
     if not use_dense:
         from ..ops.engine import prefetch_find_pairs
 
@@ -369,8 +379,6 @@ def overlap(
         # f64 while the largest possible cell stays below 2^53, making
         # the matrix independent of emission order — the sort (a 7-key
         # lexsort over every matched pair) is skipped then.
-        from ..constants import SCORE_RATIO
-
         if opt.ignore_counts:
             max_term = 1.0
         elif opt.score_int == SCORE_RATIO:

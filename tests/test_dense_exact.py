@@ -167,6 +167,23 @@ def test_cli_dense_engine_byte_identical(tmp_path, monkeypatch):
               "-p", str(tmp_path / "p.tsv"),
               "-l", str(tmp_path / "l3.txt")])
 
+    # -s ratio is not exact in f32: the dense engine must fall back to
+    # the sparse path (byte-identical output, warning in the log, no
+    # dense kernels dispatched) rather than silently drift
+    monkeypatch.delenv("COMPAIRR_ENGINE", raising=False)
+    out_rs = tmp_path / "ratio_sparse.tsv"
+    assert main(["-m", "-d", "1", "-s", "ratio", a, b,
+                 "-o", str(out_rs), "-l", str(tmp_path / "l4.txt")]) == 0
+    calls.clear()
+    monkeypatch.setenv("COMPAIRR_ENGINE", "dense")
+    out_rd = tmp_path / "ratio_dense.tsv"
+    log_rd = tmp_path / "l5.txt"
+    assert main(["-m", "-d", "1", "-s", "ratio", a, b,
+                 "-o", str(out_rd), "-l", str(log_rd)]) == 0
+    assert not calls, "ratio run must not use the dense engine"
+    assert out_rd.read_bytes() == out_rs.read_bytes()
+    assert "does not support the ratio" in log_rd.read_text()
+
 
 def test_dense_exact_chunked_many_repertoires():
     # 20k rows over 16 repertoires with planted duplicates: per-tile
