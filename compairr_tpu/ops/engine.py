@@ -998,16 +998,20 @@ def dense_matrix(
         # on device, keep only the argsort + key vector on host.
         from .pallas_kernels import dense_matrix_pallas, device_args_raw
 
+        shared = db2 is db1 and tile_m == tile_n
+        oh_scale = 1.0 if shared else 0.5  # split the one-hot budget
         order_a, key_a, npad_a = pack_keys(db1, tile_m, by_vjl)
         da = device_args_raw(
-            db1, order_a, npad_a, lmax, use_indels, sort_key=key_a
+            db1, order_a, npad_a, lmax, use_indels, sort_key=key_a,
+            oh_budget_scale=oh_scale,
         )
-        if db2 is db1 and tile_m == tile_n:
+        if shared:
             order_b, key_b, npad_b, db_dev = order_a, key_a, npad_a, da
         else:
             order_b, key_b, npad_b = pack_keys(db2, tile_n, by_vjl)
             db_dev = device_args_raw(
-                db2, order_b, npad_b, lmax, use_indels, sort_key=key_b
+                db2, order_b, npad_b, lmax, use_indels, sort_key=key_b,
+                oh_budget_scale=oh_scale,
             )
         work = worklist_from_keys(
             key_a, db1.n, key_b, db2.n, delta, tile_m, tile_n

@@ -448,10 +448,53 @@ def _dense_pallas_fn(
     return jax.jit(fn)
 
 
+def _v2_chains(score_int: int, ignore_counts: bool, cmax: float):
+    """The v2 kernel's score reduction as a static list of bilinear
+    chains (a_weight, b_weight, scale): matrix[r1,r2] accumulates
+    scale * (oh1 spec a_weight)^T M (oh2 spec b_weight) per chain.
+    a_weight in {"one", "lo", "hi"} (count low/high byte; both bf16
+    -exact since bytes <= 255), b_weight in {"one", "cnt"}. Returns
+    None for score modes with no exact bilinear decomposition (min,
+    max, ratio) — those keep the v1 kernel.
+
+    The high-byte chain only exists when some count >= 256: synthetic
+    and most real AIRR duplicate counts are small, and dropping the
+    dead all-zero stage removes a whole [r1p, TM] x [TM, TN] matmul
+    per program."""
+    from ..constants import SCORE_MEAN, SCORE_MH, SCORE_PRODUCT
+
+    if ignore_counts:
+        return (("one", "one", 1.0),)
+    hi = cmax >= 256
+    if score_int in (SCORE_MH, SCORE_PRODUCT):
+        ch = [("lo", "cnt", 1.0)]
+        if hi:
+            ch.append(("hi", "cnt", 256.0))
+        return tuple(ch)
+    if score_int == SCORE_MEAN:
+        # sum (ca+cb)/2 = 0.5*(sum ca * 1) + 0.5*(1 * sum cb): exact
+        # half-integers in f32 under the engine's 2^24 guard (the mean
+        # bound S_a*M_b + S_b*M_a is 2x the half-integer sum, so the
+        # sum stays < 2^23 where 0.5 spacing is exact)
+        ch = [("lo", "one", 0.5), ("one", "cnt", 0.5)]
+        if hi:
+            ch.append(("hi", "one", 128.0))
+        return tuple(ch)
+    return None
+
+
+def _v2_run_cap(tile_m: int) -> int:
+    """Max programs accumulated into the Q scratch between flushes:
+    each Q entry is a sum of a-side byte weights (<= 255) over at most
+    tile_m rows per program, so run_cap * tile_m * 255 < 2^24 keeps
+    every Q partial exactly representable in f32."""
+    return max(1, ((1 << 24) - 1) // (tile_m * 255))
+
+
 def _make_dense_v2_kernel(
     *,
     differences: int,
-    fold_counts: bool,
+    chains: tuple,
     lpad: int,
     tile_m: int,
     tile_n: int,
@@ -459,25 +502,29 @@ def _make_dense_v2_kernel(
     r2p: int,
 ):
     """Throughput dense kernel (substitution-only): one-hot rows come
-    precomputed from HBM, so the program is three-to-five MXU matmuls
-    plus cheap masks — no per-tile VPU one-hot rebuild.
+    precomputed from HBM, so the program is two MXU matmuls (Hamming +
+    one stage-1 per chain) plus cheap masks — no per-tile VPU one-hot
+    rebuild.
 
-    Score reduction (exact, fast): matrix[r1,r2] = sum over matched
-    pairs of ca*cb. With counts byte-split (ca = 256*h + l, h,l <= 255
-    exactly representable in bf16):
-      Q_l = A_l^T M,  Q_h = A_h^T M      (single-pass bf16 matmuls;
-                                          MXU accumulates in f32, so
-                                          integer sums are exact)
-      out += Q_l B + 256 * (Q_h B)       (B carries full counts; f32
-                                          Precision.HIGHEST keeps the
-                                          products exact)
-    fold_counts=False (ignore_counts / -f) drops the h term and B's
-    count weighting. Only product-family scores (product, MH) ride
-    this kernel; other modes keep the v1 kernel."""
+    Score reduction (exact, fast): per chain (see _v2_chains)
+      Q_c += A_c^T M        every program  (bf16 matmul, f32 accum —
+                             integer sums are exact; Q_c lives in VMEM
+                             scratch across programs)
+      out += scale_c * Q_c B_c   only on flush programs (host-computed
+                             flush flags: column-block change or the
+                             _v2_run_cap exactness bound)
+    The worklist is ordered column-major, so consecutive programs
+    share the b-block: the stage-2 [r1p,TN]x[TN,r2p] Precision.HIGHEST
+    matmul and the b-side repertoire one-hot build amortise over the
+    whole run instead of running per tile."""
+
+    b_kinds = sorted({c[1] for c in chains})
+    a_kinds = {c[0] for c in chains}
 
     def kernel(
         rows_ref,
         cols_ref,
+        flush_ref,
         a_oh,
         a_key,
         a_rep,
@@ -487,12 +534,15 @@ def _make_dense_v2_kernel(
         b_rep,
         b_cnt,
         out_ref,
+        *qs,
     ):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
+            for q in qs:
+                q[:] = jnp.zeros_like(q)
 
         matches = lax.dot_general(
             a_oh[:],
@@ -512,40 +562,43 @@ def _make_dense_v2_kernel(
         oh1 = (
             a_rep[:].T == lax.broadcasted_iota(jnp.int32, (tile_m, r1p), 1)
         ).astype(jnp.float32)
-        b_oh2 = (
-            b_rep[:] == lax.broadcasted_iota(jnp.int32, (r2p, tile_n), 0)
-        ).astype(jnp.float32)
-        if fold_counts:
+        aw = {"one": oh1}
+        if "lo" in a_kinds or "hi" in a_kinds:
             ca = a_cnt[:].T  # [TM, 1] f32
             h = jnp.floor(ca * (1.0 / 256.0))
-            low = ca - 256.0 * h
-            a_l = (oh1 * low).astype(jnp.bfloat16)
-            a_h = (oh1 * h).astype(jnp.bfloat16)
-            bmat = b_oh2 * b_cnt[:]  # [r2p, TN] full counts
-        else:
-            a_l = oh1.astype(jnp.bfloat16)
-            a_h = None
-            bmat = b_oh2
-
-        def stage(a_i):
-            q = lax.dot_general(
-                a_i,
+            aw["lo"] = oh1 * (ca - 256.0 * h)
+            aw["hi"] = oh1 * h
+        for q, (ak, _bk, _s) in zip(qs, chains):
+            q[:] += lax.dot_general(
+                aw[ak].astype(jnp.bfloat16),
                 m_bf,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [r1p, TN], exact integer sums
-            return lax.dot_general(
-                q,
-                bmat,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST,
-            )  # [r1p, r2p]
+            )  # [r1p, TN], exact integer sums (see _v2_run_cap)
 
-        acc = stage(a_l)
-        if a_h is not None:
-            acc = acc + 256.0 * stage(a_h)
-        out_ref[:] += acc
+        @pl.when(flush_ref[i] != 0)
+        def _():
+            b_oh2 = (
+                b_rep[:]
+                == lax.broadcasted_iota(jnp.int32, (r2p, tile_n), 0)
+            ).astype(jnp.float32)
+            bm = {}
+            for bk in b_kinds:
+                bm[bk] = b_oh2 * b_cnt[:] if bk == "cnt" else b_oh2
+            acc = None
+            for q, (_ak, bk, scale) in zip(qs, chains):
+                t = lax.dot_general(
+                    q[:],
+                    bm[bk],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )  # [r1p, r2p]
+                if scale != 1.0:
+                    t = t * scale
+                acc = t if acc is None else acc + t
+                q[:] = jnp.zeros_like(q)
+            out_ref[:] += acc
 
     return kernel
 
@@ -553,7 +606,7 @@ def _make_dense_v2_kernel(
 @lru_cache(maxsize=None)
 def _dense_v2_fn(
     differences: int,
-    fold_counts: bool,
+    chains: tuple,
     lpad: int,
     tile_m: int,
     tile_n: int,
@@ -564,7 +617,7 @@ def _dense_v2_fn(
 ):
     kernel = _make_dense_v2_kernel(
         differences=differences,
-        fold_counts=fold_counts,
+        chains=chains,
         lpad=lpad,
         tile_m=tile_m,
         tile_n=tile_n,
@@ -576,33 +629,33 @@ def _dense_v2_fn(
     def a_spec(width):
         return pl.BlockSpec(
             (tile_m, width),
-            index_map=lambda i, rows, cols: (rows[i], 0),
+            index_map=lambda i, rows, cols, flush: (rows[i], 0),
             memory_space=pltpu.VMEM,
         )
 
     def b_spec(width):
         return pl.BlockSpec(
             (tile_n, width),
-            index_map=lambda i, rows, cols: (cols[i], 0),
+            index_map=lambda i, rows, cols, flush: (cols[i], 0),
             memory_space=pltpu.VMEM,
         )
 
     def aT_spec(height):
         return pl.BlockSpec(
             (height, tile_m),
-            index_map=lambda i, rows, cols: (0, rows[i]),
+            index_map=lambda i, rows, cols, flush: (0, rows[i]),
             memory_space=pltpu.VMEM,
         )
 
     def bT_spec(height):
         return pl.BlockSpec(
             (height, tile_n),
-            index_map=lambda i, rows, cols: (0, cols[i]),
+            index_map=lambda i, rows, cols, flush: (0, cols[i]),
             memory_space=pltpu.VMEM,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             a_spec(ohw),  # a_oh
@@ -616,9 +669,12 @@ def _dense_v2_fn(
         ],
         out_specs=pl.BlockSpec(
             (r1p, r2p),
-            index_map=lambda i, rows, cols: (0, 0),
+            index_map=lambda i, rows, cols, flush: (0, 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[
+            pltpu.VMEM((r1p, tile_n), jnp.float32) for _ in chains
+        ],
     )
 
     fn = pl.pallas_call(
@@ -631,21 +687,48 @@ def _dense_v2_fn(
 
 
 def _dense_v2_eligible(a_dev, b_dev, *, indels, score_int, ignore_counts):
-    """The v2 kernel serves substitution-only runs whose score is the
-    product family (the byte split needs counts < 2^16) or -f, when
-    both sides carry HBM one-hots and an int32 fused bucket key."""
-    from ..constants import SCORE_MH, SCORE_PRODUCT
-
+    """The v2 kernel serves substitution-only runs whose score has an
+    exact bilinear decomposition (product/MH/mean — the byte split
+    needs counts < 2^16 — or -f), when both sides carry HBM one-hots
+    and an int32 fused bucket key."""
     if indels or a_dev.get("oh") is None or b_dev.get("oh") is None:
         return False
     if a_dev.get("key32") is None or b_dev.get("key32") is None:
         return False
-    if ignore_counts:
-        return True
-    return score_int in (SCORE_MH, SCORE_PRODUCT) and (
-        max(a_dev.get("cmax", 1 << 30), b_dev.get("cmax", 1 << 30))
-        < (1 << 16)
-    )
+    cmax = max(a_dev.get("cmax", 1 << 30), b_dev.get("cmax", 1 << 30))
+    if _v2_chains(score_int, ignore_counts, cmax) is None:
+        return False
+    return ignore_counts or cmax < (1 << 16)
+
+
+def _order_colmajor(work: np.ndarray) -> np.ndarray:
+    """Column-major worklist order (b-block, then a-block): consecutive
+    programs share the b-block, so Pallas skips its DMA refetch and the
+    v2 kernel's stage-2 flush amortises over the run. Accumulation
+    order is irrelevant: every dense partial is exact under the
+    engine's f32 guard, so any order yields identical results."""
+    if len(work) == 0:
+        return work
+    return work[np.lexsort((work[:, 0], work[:, 1]))]
+
+
+def _flush_flags(chunk: np.ndarray, run_cap: int) -> np.ndarray:
+    """Per-program flush flags for a (padded) v2 dispatch chunk: flush
+    where the next program's column block differs, at the exactness
+    run cap (_v2_run_cap), and at the last program."""
+    n = len(chunk)
+    flush = np.zeros(n, dtype=np.int32)
+    if n == 0:
+        return flush
+    change = np.nonzero(np.diff(chunk[:, 1]) != 0)[0]
+    flush[change] = 1
+    flush[n - 1] = 1
+    seg = np.zeros(n, dtype=np.int64)
+    seg[1:] = np.cumsum(np.diff(chunk[:, 1]) != 0)
+    segstart = np.concatenate([[0], change + 1])
+    pos = np.arange(n, dtype=np.int64) - segstart[seg]
+    flush[(pos + 1) % run_cap == 0] = 1
+    return flush
 
 
 def _make_count_kernel(
@@ -1204,14 +1287,39 @@ def _unpack_residues(packed, lmax: int):
 _DERIVE_CHUNK = 1 << 21  # rows per derive step: bounds int32 temps
 
 # Precompute one-hot residue rows in HBM for the dense kernel when the
-# padded set fits the budget (NCLASS*lpad ~ 504 bytes/row: 3 GB at the
-# 6M default). Removes the dominant per-tile VPU cost (the in-kernel
-# one-hot rebuild, done twice per tile and redone for the same block
-# by every tile that touches it); above the budget the dense path
-# falls back to the in-kernel build.
-OH_ROWS_MAX = int(
-    __import__("os").environ.get("COMPAIRR_OH_ROWS_MAX", str(6 << 20))
-)
+# padded set fits the budget (NCLASS*lpad ~ 504 bytes/row: 11.4 GiB at
+# Keck's 24.3M padded rows). Removes the dominant per-tile VPU cost
+# (the in-kernel one-hot rebuild, done twice per tile and redone for
+# the same block by every tile that touches it); above the budget the
+# dense path falls back to the in-kernel build. The budget is derived
+# from the device's HBM limit (~78%, leaving room for the residue
+# rows, scalars, staging and matmul workspace — a Keck self-compare
+# measures ~1.7 GB of non-one-hot arrays); COMPAIRR_OH_BYTES_MAX
+# overrides the byte budget, COMPAIRR_OH_ROWS_MAX a row cap.
+
+
+def _oh_bytes_budget() -> int:
+    env = __import__("os").environ.get("COMPAIRR_OH_BYTES_MAX")
+    if env is not None:
+        return int(env)
+    limit = 0
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        limit = int(stats.get("bytes_limit", 0))
+    except Exception:
+        limit = 0
+    if limit <= 0:
+        limit = 16_000_000_000  # v5e HBM; conservative default
+    return int(limit * 0.78)
+
+
+def _oh_fits(npad: int, lpad: int, budget_scale: float = 1.0) -> bool:
+    """True when a set's HBM one-hot rows fit the device budget.
+    budget_scale < 1 shares the budget between two distinct sets."""
+    env_rows = __import__("os").environ.get("COMPAIRR_OH_ROWS_MAX")
+    if env_rows is not None and npad > int(env_rows):
+        return False
+    return npad * NCLASS * lpad <= _oh_bytes_budget() * budget_scale
 
 
 def _onehot_rows_chunk(seqs_c, nclass: int):
@@ -1453,16 +1561,19 @@ def _shrink(x: np.ndarray, sentinel: int, m: int) -> np.ndarray:
 
 def device_args_raw(db, order: np.ndarray, npad: int, lpad: int,
                     indels: bool = True,
-                    sort_key: Optional[np.ndarray] = None) -> dict:
+                    sort_key: Optional[np.ndarray] = None,
+                    oh_budget_scale: float = 1.0) -> dict:
     """Upload a SeqDB's raw arrays (plus one sentinel row) and derive
     the sorted kernel layouts on device (see _gather_derive_fn).
     `order` is pack_keys' permutation; padding rows map to the
-    sentinel. Substitution-only sets within the OH_ROWS_MAX budget
+    sentinel. Substitution-only sets within the _oh_fits HBM budget
     also get HBM-precomputed one-hot rows ("oh") for the v2 dense
     kernel; "cmax" carries the host-side count maximum for its
     byte-split eligibility check. `sort_key` (pack_keys' sorted padded
     key vector) uploads as an int32 [1, npad] row ("key32", pads -1)
-    when it fits — the v2 kernel's one-compare match precondition."""
+    when it fits — the v2 kernel's one-compare match precondition.
+    oh_budget_scale shares the one-hot budget across two distinct
+    sets (engine.dense_matrix passes 0.5 for two-file runs)."""
     n = db.n
     pad_val = int(db.pad_value)
     m = _canon_src(n + 1)
@@ -1471,7 +1582,7 @@ def device_args_raw(db, order: np.ndarray, npad: int, lpad: int,
     order_full = np.full(npad, n, dtype=np.int32)
     order_full[:n] = order
     dev = jax.device_put
-    with_oh = (not indels) and npad <= OH_ROWS_MAX
+    with_oh = (not indels) and _oh_fits(npad, lpad, oh_budget_scale)
     a, b = _gather_derive_fn(pad_val, lpad, indels, with_oh)(
         dev(_packed_upload(db, m, lpad, pad_val)),
         dev(_shrink(db.lengths, -1, m)),
@@ -1519,7 +1630,7 @@ def dense_matrix_pallas(
     npad_b = b_dev["seqs"].shape[0]
     acc = None
     for chunk, _c in _chunk_worklist(
-        work, tile_m, tile_n, npad_a, npad_b, 64
+        _order_colmajor(work), tile_m, tile_n, npad_a, npad_b, 64
     ):
         part = _dense_pallas_chunk(
             a_dev, b_dev, chunk,
@@ -1561,9 +1672,13 @@ def dense_matrix_pallas_prepared(
         a_dev, b_dev,
         indels=indels, score_int=score_int, ignore_counts=ignore_counts,
     )
+    if use_v2:
+        cmax = max(a_dev.get("cmax", 0.0), b_dev.get("cmax", 0.0))
+        chains = _v2_chains(score_int, ignore_counts, cmax)
+        run_cap = _v2_run_cap(tile_m)
     prepared = []
     for chunk, _c in _chunk_worklist(
-        work, tile_m, tile_n, npad_a, npad_b, 64
+        _order_colmajor(work), tile_m, tile_n, npad_a, npad_b, 64
     ):
         rows = jax.device_put(
             (chunk[:, 0] // tile_m).astype(np.int32), dev
@@ -1572,11 +1687,16 @@ def dense_matrix_pallas_prepared(
             (chunk[:, 1] // tile_n).astype(np.int32), dev
         )
         if use_v2:
-            fn = _dense_v2_fn(
-                differences, not ignore_counts,
+            fn0 = _dense_v2_fn(
+                differences, chains,
                 lpad, tile_m, tile_n, r1p, r2p, int(len(chunk)),
                 interpret,
             )
+            flush = jax.device_put(_flush_flags(chunk, run_cap), dev)
+
+            def fn(r, c, *a, _f=fn0, _fl=flush):
+                return _f(r, c, _fl, *a)
+
             args = (
                 a_dev["oh"], a_dev["key32"], a_dev["rep"], a_dev["cnt"],
                 b_dev["oh"], b_dev["key32"], b_dev["rep"], b_dev["cnt"],
@@ -1633,13 +1753,16 @@ def _dense_pallas_chunk(
         a_dev, b_dev,
         indels=indels, score_int=score_int, ignore_counts=ignore_counts,
     ):
+        cmax = max(a_dev.get("cmax", 0.0), b_dev.get("cmax", 0.0))
+        chains = _v2_chains(score_int, ignore_counts, cmax)
         fn = _dense_v2_fn(
-            differences, not ignore_counts,
+            differences, chains,
             lpad, tile_m, tile_n, r1p, r2p, int(len(rows)), interpret,
         )
         return fn(
             jax.device_put(rows, dev),
             jax.device_put(cols, dev),
+            jax.device_put(_flush_flags(work, _v2_run_cap(tile_m)), dev),
             a_dev["oh"],
             a_dev["key32"],
             a_dev["rep"],

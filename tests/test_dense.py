@@ -94,6 +94,106 @@ def test_dense_v2_kernel_interpret(dbs, f):
     np.testing.assert_allclose(dm, sm, rtol=0, atol=0)
 
 
+@pytest.mark.parametrize(
+    "score,f",
+    [(SCORE_PRODUCT, False), (SCORE_MEAN, False), (SCORE_PRODUCT, True)],
+)
+def test_dense_v2_chain_modes(dbs, score, f, monkeypatch):
+    """Every v2 bilinear chain family (product, mean, -f) must match
+    the sparse path exactly through the Pallas interpret path, and a
+    tiny run cap must force mid-run Q flushes without changing the
+    result (the exactness flush logic, _flush_flags/_v2_run_cap)."""
+    from compairr_tpu.ops import pallas_kernels as P
+
+    d1, d2 = dbs
+    spec = MatchSpec(differences=1, indels=False, ignore_genes=False)
+    calls = []
+    real = P._dense_v2_fn
+
+    def probe(*a, **k):
+        calls.append(a[1])  # the chains tuple
+        return real(*a, **k)
+
+    monkeypatch.setattr(P, "_dense_v2_fn", probe)
+    monkeypatch.setattr(P, "_v2_run_cap", lambda tile_m: 2)
+    dm = dense_matrix(d1, d2, spec, score, f, engine="pallas")
+    assert calls, "v2 kernel was not selected"
+    if f:
+        assert calls[0] == (("one", "one", 1.0),)
+    elif score == SCORE_MEAN:
+        assert calls[0][0] == ("lo", "one", 0.5)
+    sm = sparse_matrix(d1, d2, spec, score, f)
+    np.testing.assert_allclose(dm, sm, rtol=0, atol=0)
+
+
+def test_dense_v2_high_byte_counts(tmp_path, monkeypatch):
+    """Counts >= 256 must engage the high-byte chain and still match
+    the sparse f64 path exactly."""
+    from compairr_tpu.ops import pallas_kernels as P
+
+    # counts straddle 256 but stay small enough that no single tile's
+    # exactness bound reaches 2^24 (which would route it to the host
+    # tile path and bypass the kernel under test)
+    a_path = make_tsv(
+        str(tmp_path / "a.tsv"), 100, 5, seed=31, alphabet_sub=5,
+        max_count=280,
+    )
+    b_path = make_tsv(
+        str(tmp_path / "b.tsv"), 120, 5, seed=32, alphabet_sub=5,
+        max_count=280,
+    )
+    genes = GeneTables()
+    opt = Options()
+    log = NullLogger()
+    d1 = read_db(a_path, opt, genes, log, False, "1")
+    d2 = read_db(b_path, opt, genes, log, False, "2")
+    assert max(d1.counts.max(), d2.counts.max()) >= 256
+    spec = MatchSpec(differences=1, indels=False, ignore_genes=False)
+    calls = []
+    real = P._dense_v2_fn
+
+    def probe(*a, **k):
+        calls.append(a[1])
+        return real(*a, **k)
+
+    monkeypatch.setattr(P, "_dense_v2_fn", probe)
+    dm = dense_matrix(d1, d2, spec, SCORE_PRODUCT, False, engine="pallas")
+    assert calls and ("hi", "cnt", 256.0) in calls[0]
+    sm = sparse_matrix(d1, d2, spec, SCORE_PRODUCT, False)
+    np.testing.assert_allclose(dm, sm, rtol=0, atol=0)
+
+
+def test_oh_budget_admits_keck_scale(monkeypatch):
+    """The HBM one-hot gate must admit a Keck-scale self-compare on a
+    16 GB device (24,258,048 padded rows x 504 one-hot bytes = 11.4
+    GiB) and reject it when two distinct sets share the budget —
+    round 3's fixed 6M-row gate silently dropped 24M dense runs to
+    the v1 in-kernel-rebuild path."""
+    from compairr_tpu.ops import pallas_kernels as P
+
+    monkeypatch.delenv("COMPAIRR_OH_ROWS_MAX", raising=False)
+    monkeypatch.setenv("COMPAIRR_OH_BYTES_MAX", "12500000000")
+    npad = 24_258_048  # canon_rows(24_205_557, 768)
+    assert P._oh_fits(npad, 24)
+    assert not P._oh_fits(npad, 24, budget_scale=0.5)
+    monkeypatch.setenv("COMPAIRR_OH_ROWS_MAX", str(6 << 20))
+    assert not P._oh_fits(npad, 24)
+
+
+def test_flush_flags_runs():
+    """Flush exactly at column changes, the run cap, and the end."""
+    from compairr_tpu.ops.pallas_kernels import _flush_flags
+
+    work = np.array(
+        [[0, 0], [128, 0], [256, 0], [384, 0], [0, 128], [128, 128]],
+        dtype=np.int32,
+    )
+    f = _flush_flags(work, run_cap=3)
+    np.testing.assert_array_equal(f, [0, 0, 1, 1, 0, 1])
+    f2 = _flush_flags(work, run_cap=64)
+    np.testing.assert_array_equal(f2, [0, 0, 0, 1, 0, 1])
+
+
 def test_dense_self_comparison(dbs):
     d1, _ = dbs
     spec = MatchSpec(differences=1, indels=False, ignore_genes=False)
