@@ -227,3 +227,23 @@ def test_log_parity(data, tmp_path, flags, two_sets):
     assert normalized_log(log.read_text()) == normalized_log(
         ref_text
     ), f"log mismatch for {flags}"
+
+
+@pytest.mark.skipif(
+    os.environ.get("COMPAIRR_SLOW_TESTS") != "1",
+    reason="large-scale differential (~2 min ref run); "
+    "COMPAIRR_SLOW_TESTS=1 enables",
+)
+def test_large_scale_d2_byte_identity():
+    """Mid-scale d=2 self-compare byte-identity (matrix + pairs) via
+    scripts/diff_large_d2.py — the double-substitution enumeration
+    (/root/reference/src/variants.cc:357-400) verified beyond fuzz
+    scale. The full record: 1.5M rows d=2 and 50k rows d=3, both
+    matrix+pairs byte-identical (BASELINE.md, round 4)."""
+    r = subprocess.run(
+        [sys.executable, "scripts/diff_large_d2.py", "200000", "2",
+         "--pairs"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "MISMATCH" not in r.stdout
