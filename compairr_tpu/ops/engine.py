@@ -409,6 +409,18 @@ def build_worklist(
     )
 
 
+def order_colmajor(work: np.ndarray) -> np.ndarray:
+    """Column-major worklist order (b-block, then a-block): consecutive
+    programs share the b-block, so Pallas skips its DMA refetch and the
+    kernels' cached/accumulated b-side state (dense v2 Q scratch,
+    sparse cached b one-hots) amortises over the run. Result-invariant:
+    the dense partials are exact under the f32 guard and the sparse
+    pair set is order-independent (consumers re-sort canonically)."""
+    if len(work) == 0:
+        return work
+    return work[np.lexsort((work[:, 0], work[:, 1]))]
+
+
 def pad_worklist_n(
     work: np.ndarray, npad_a: int, npad_b: int, tile_m: int, tile_n: int
 ) -> np.ndarray:
@@ -857,7 +869,7 @@ def _sparse_devices() -> list:
     return devs[: max(1, min(cap, len(devs)))]
 
 
-_TILES_PER_DEVICE_MIN = 8  # below this, extra devices cost more than help
+_TILES_PER_DEVICE_MIN = 8  # tunnel-RTT base; see _tiles_per_device_min()
 
 
 def _put_tree(x, device, memo=None):
@@ -1258,6 +1270,55 @@ def _sparse_inputs(db: SeqDB, tile: int, by_vjl: bool, lmax: int,
     return args, None, None, p.orig, p.key, p.np_
 
 
+_RTT_TUNNEL = 0.030  # this dev machine's measured tunnel dispatch RTT
+
+
+@lru_cache(maxsize=None)
+def route_profile() -> float:
+    """Device dispatch round-trip time in seconds — the measured
+    number the routing constants derive from, instead of hard-coding
+    this development tunnel's ~30 ms into a framework that ships to
+    TPU VMs with sub-ms dispatch.
+
+    COMPAIRR_ROUTE_PROFILE pins it: "tunnel" (0.030), "local"
+    (0.001), a float in seconds, or "auto" (default: measure one
+    host->device->host round trip of a tiny array, min of 3 — no jit,
+    so no compile cost). Measured once per process (lru_cache)."""
+    env = os.environ.get("COMPAIRR_ROUTE_PROFILE", "auto").lower()
+    if env == "tunnel":
+        return _RTT_TUNNEL
+    if env == "local":
+        return 0.001
+    if env != "auto":
+        try:
+            return max(float(env), 1e-5)
+        except ValueError:
+            return _RTT_TUNNEL
+    try:
+        if jax.default_backend() == "cpu":
+            return 0.001
+        import time as _time
+
+        x = np.zeros(128, dtype=np.float32)
+        np.asarray(jax.device_put(x))  # warm the transfer path
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            np.asarray(jax.device_put(x))
+            best = min(best, _time.perf_counter() - t0)
+        return max(best / 2.0, 1e-5)  # H2D + D2H ~ 2 dispatches
+    except Exception:
+        return _RTT_TUNNEL
+
+
+def _tiles_per_device_min() -> int:
+    """Minimum worklist tiles per extra device: splitting a tiny
+    worklist across chips costs one extra dispatch round trip per
+    chip, so the threshold scales with the measured RTT (8 on the
+    ~30 ms tunnel, 2 on a sub-ms TPU VM)."""
+    return max(2, round(_TILES_PER_DEVICE_MIN * route_profile() / _RTT_TUNNEL))
+
+
 def _pair_plan(db1: SeqDB, db2: SeqDB, spec: MatchSpec, on_tpu: bool):
     """Static launch parameters for a find_pairs run (shared with the
     prefetch path so cache keys always agree).
@@ -1265,18 +1326,25 @@ def _pair_plan(db1: SeqDB, db2: SeqDB, spec: MatchSpec, on_tpu: bool):
     Tile choice: bigger tiles for huge inputs — the Pallas count
     kernel's cost is dominated by per-program overhead (~1-3us/tile
     incl. block DMAs); 512x512 tiles cut the program count 16x at a
-    modest padding cost. Indel runs use the same 512 tiles since the
+    modest padding cost. The crossover row count derives from the
+    measured dispatch RTT (route_profile): cheap dispatches keep the
+    lower-padding 256-tile regime viable longer (more chunked
+    dispatches per run), so a sub-ms TPU VM crosses at 2x the rows of
+    this ~30 ms tunnel. Indel runs use the same 512 tiles since the
     prefix/suffix check moved onto the MXU (_first_mismatch replaced
     the four [T,T] i32 VPU accumulators that used to exceed scoped
     VMEM at 512). Extraction slabs are sized for ~4M match-words per
-    dispatch so the fused nonzero (~9ms/M words) dominates the ~30ms
+    dispatch so the fused nonzero (~9ms/M words) dominates the
     dispatch round trip."""
     lmax = int(max(db1.longest, db2.longest, 1))
     if on_tpu:
         lmax = _round_up(lmax, 8)
     by_vjl = not spec.ignore_genes
     use_indels = spec.indels and spec.differences == 1
-    if max(db1.n, db2.n) <= 2_000_000 or not on_tpu:
+    big_tile_rows = int(
+        2_000_000 * min(max(_RTT_TUNNEL / route_profile(), 1.0), 2.0)
+    )
+    if max(db1.n, db2.n) <= big_tile_rows or not on_tpu:
         tile = TILE_M
     else:
         tile = 512
@@ -1553,7 +1621,15 @@ def find_pairs(
         ]
     else:
         streams = [(work[has_eq], False, False)]
-    streams = [s for s in streams if len(s[0])]
+    # column-major order: consecutive tiles share the b-block, so the
+    # kernels' cached b-side one-hots (_cached_key_match) rebuild once
+    # per run instead of once per tile. The pair set is order-invariant
+    # (consumers reconstruct the canonical order from indices).
+    streams = [
+        (order_colmajor(sw), si, so)
+        for sw, si, so in streams
+        if len(sw)
+    ]
     w = sum(len(s[0]) for s in streams)
     tm.lap("worklist")
 
@@ -1569,7 +1645,8 @@ def find_pairs(
         # multi-chip: replicate both packed sets onto every device and
         # give each device a contiguous span of the tile worklist.
         devs = _sparse_devices()
-        n_dev = max(1, min(len(devs), w // _TILES_PER_DEVICE_MIN))
+        tpd = _tiles_per_device_min()
+        n_dev = max(1, min(len(devs), w // tpd))
         combo = (a_args, b_args, pa_a, pb_b)
         replicas = [combo] + [
             _put_tree(combo, devs[di]) for di in range(1, n_dev)
@@ -1583,7 +1660,7 @@ def find_pairs(
         filtered = []  # (work, tile_counts, s_indels, s_ionly)
         for swork, s_ind, s_io in streams:
             sw = len(swork)
-            nd = max(1, min(n_dev, sw // _TILES_PER_DEVICE_MIN))
+            nd = max(1, min(n_dev, sw // tpd))
             span = [sw * di // nd for di in range(nd + 1)]
             cand_parts: list[np.ndarray] = []
             cnt_parts: list = []

@@ -47,6 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 # consumers (bench's prepared dense path) that never enter ops.engine's
 # device entry points
 from .engine import _enable_compilation_cache
+from .engine import order_colmajor as _order_colmajor
 
 _enable_compilation_cache()
 
@@ -170,6 +171,139 @@ def _first_mismatch(oh_a, oh_b, lpad: int):
         pref = pref + jnp.where(alive, q, 0)
         alive = alive & (x <= 0.0)
     return pref
+
+
+def _nbands(lpad: int) -> int:
+    return -(-lpad // _BAND)
+
+
+def _onehot_bf(seq_i8, nclass: int):
+    """[T, L] int8 residues -> [T, nclass*L] bfloat16 one-hot (same
+    lane layout as _onehot) — for operands only ever consumed by bf16
+    matmuls, skipping the int8 materialisation + cast."""
+    t, l = seq_i8.shape
+    rep = pltpu.repeat(seq_i8, nclass, axis=1)
+    cls = lax.broadcasted_iota(jnp.int32, (t, l * nclass), 1) // l
+    return (rep.astype(jnp.int32) == cls).astype(jnp.bfloat16)
+
+
+def _band_weight_row(lanes: int, lpad: int, lo: int, hi: int):
+    """[1, lanes] bf16 first-mismatch band weights (2^-(p-lo) within
+    [lo, hi), 0 outside) in the _onehot lane layout."""
+    lane_pos = lax.broadcasted_iota(jnp.int32, (1, lanes), 1) % lpad
+    return jnp.where(
+        (lane_pos >= lo) & (lane_pos < hi),
+        jnp.exp2(-(lane_pos - lo).astype(jnp.float32)),
+        0.0,
+    ).astype(jnp.bfloat16)
+
+
+def _first_mismatch_bw(oh_a_bf, bw_ref, lpad: int):
+    """_first_mismatch with the band weights pre-applied to the CACHED
+    b side (msum = (oh_a w) . oh_b^T == oh_a . (w oh_b)^T): bw_ref is a
+    [nbands, TN, lanes] bf16 VMEM scratch holding the weighted b-side
+    one-hots, rebuilt only when the column block changes. The a side
+    supplies one plain bf16 one-hot per program."""
+    tm = oh_a_bf.shape[0]
+    tn = bw_ref.shape[1]
+    pref = jnp.zeros((tm, tn), dtype=jnp.int32)
+    alive = jnp.ones((tm, tn), dtype=jnp.bool_)
+    for bi, lo in enumerate(range(0, lpad, _BAND)):
+        hi = min(lo + _BAND, lpad)
+        msum = lax.dot_general(
+            oh_a_bf,
+            bw_ref[bi],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        wtot = float(2.0 - 2.0 ** (-(hi - lo - 1)))
+        x = wtot - msum  # sum of the mismatched weights; exact
+        bits = lax.bitcast_convert_type(x, jnp.int32)
+        expo = ((bits >> 23) & 0xFF) - 127
+        q = jnp.where(x > 0.0, -expo, hi - lo)
+        pref = pref + jnp.where(alive, q, 0)
+        alive = alive & (x <= 0.0)
+    return pref
+
+
+def _cached_key_match(
+    i,
+    cols_ref,
+    a_seq,
+    a_rseq,
+    a_key,
+    b_seq,
+    b_rseq,
+    b_key,
+    scratch: dict,
+    *,
+    differences: int,
+    indels: bool,
+    lpad: int,
+    indel_only: bool,
+):
+    """Key-fused match mask with the b-side one-hots cached in VMEM
+    scratch across grid programs — the sparse kernels' analogue of the
+    dense v2 kernel's HBM one-hots (which cannot exist at 24M-row
+    indel scale: forward + reversed one-hots would need ~2x 12 GiB of
+    HBM). Worklists are column-major ordered, so the cache rebuild
+    (the round-3 kernels' dominant per-tile VPU cost, paid 2x per tile
+    and 4x on indel tiles) amortises over each column run; only the
+    a-side one-hots are built per program.
+
+    scratch keys (allocated by the _*_pallas_fn builders):
+      bh_i8  [TN, lanes] int8      Hamming operand  (skip if indel_only)
+      bw_f   [nbands, TN, lanes] bf16  weighted fwd (indels only)
+      bw_r   [nbands, TN, lanes] bf16  weighted rev (indels only)
+    """
+    prev = cols_ref[jnp.maximum(i - 1, 0)]
+    rebuild = jnp.logical_or(i == 0, cols_ref[i] != prev)
+
+    @pl.when(rebuild)
+    def _():
+        if not indel_only:
+            scratch["bh_i8"][:] = _onehot(b_seq[:], NCLASS)
+        if indels:
+            lanes = NCLASS * lpad
+            ohb = _onehot_bf(b_seq[:], NCLASS)
+            ohrb = _onehot_bf(b_rseq[:], NCLASS)
+            for bi, lo in enumerate(range(0, lpad, _BAND)):
+                hi = min(lo + _BAND, lpad)
+                w = _band_weight_row(lanes, lpad, lo, hi)
+                scratch["bw_f"][bi] = ohb * w
+                scratch["bw_r"][bi] = ohrb * w
+
+    keq = a_key[:].T == b_key[:]  # [TM, TN]
+    if indel_only:
+        match = jnp.zeros((a_seq.shape[0], b_seq.shape[0]), jnp.bool_)
+    else:
+        oh_a = _onehot(a_seq[:], NCLASS)
+        matches = lax.dot_general(
+            oh_a,
+            scratch["bh_i8"][:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        match = keq & (matches >= lpad - differences)
+
+    if indels:
+        oh_a_bf = (
+            oh_a.astype(jnp.bfloat16)
+            if not indel_only
+            else _onehot_bf(a_seq[:], NCLASS)
+        )
+        pref = _first_mismatch_bw(oh_a_bf, scratch["bw_f"], lpad)
+        suf = _first_mismatch_bw(
+            _onehot_bf(a_rseq[:], NCLASS), scratch["bw_r"], lpad
+        )
+        la = a_key[:].T & 0xFFFF  # garbage for pads, but pads never
+        lb = b_key[:] & 0xFFFF  # pass the key-distance test
+        dk = a_key[:].T - b_key[:]
+        len_pm1 = (dk == 1) | (dk == -1)
+        minlen = jnp.minimum(la + jnp.zeros_like(lb), lb)
+        match = match | (len_pm1 & (pref + suf >= minlen))
+
+    return match
 
 
 def _match_tile_pallas(
@@ -483,12 +617,14 @@ def _v2_chains(score_int: int, ignore_counts: bool, cmax: float):
     return None
 
 
-def _v2_run_cap(tile_m: int) -> int:
+def _v2_run_cap(tile_m: int, wmax: int = 255) -> int:
     """Max programs accumulated into the Q scratch between flushes:
-    each Q entry is a sum of a-side byte weights (<= 255) over at most
-    tile_m rows per program, so run_cap * tile_m * 255 < 2^24 keeps
-    every Q partial exactly representable in f32."""
-    return max(1, ((1 << 24) - 1) // (tile_m * 255))
+    each Q entry is a sum of a-side weights (<= wmax) over at most
+    tile_m rows per program, so run_cap * tile_m * wmax < 2^24 keeps
+    every Q partial exactly representable in f32 (the int8 stage-1
+    accumulates in i32, but its flush converts Q to f32 for the
+    stage-2 matmul, so the same bound applies)."""
+    return max(1, ((1 << 24) - 1) // (tile_m * max(wmax, 1)))
 
 
 def _make_dense_v2_kernel(
@@ -500,6 +636,7 @@ def _make_dense_v2_kernel(
     tile_n: int,
     r1p: int,
     r2p: int,
+    int8_stage1: bool = False,
 ):
     """Throughput dense kernel (substitution-only): one-hot rows come
     precomputed from HBM, so the program is two MXU matmuls (Hamming +
@@ -516,10 +653,17 @@ def _make_dense_v2_kernel(
     The worklist is ordered column-major, so consecutive programs
     share the b-block: the stage-2 [r1p,TN]x[TN,r2p] Precision.HIGHEST
     matmul and the b-side repertoire one-hot build amortise over the
-    whole run instead of running per tile."""
+    whole run instead of running per tile.
+
+    int8_stage1 (all a-side weights <= 127, i.e. counts < 128 or -f):
+    the stage-1 matmul runs int8 x int8 -> i32 at twice the bf16 MXU
+    rate; Q accumulates in i32 (exact) and converts to f32 at flush
+    (exact under the same _v2_run_cap bound)."""
 
     b_kinds = sorted({c[1] for c in chains})
     a_kinds = {c[0] for c in chains}
+    s1_dtype = jnp.int8 if int8_stage1 else jnp.bfloat16
+    q_dtype = jnp.int32 if int8_stage1 else jnp.float32
 
     def kernel(
         rows_ref,
@@ -557,7 +701,7 @@ def _make_dense_v2_kernel(
         # row is all zero in both reduction operands.
         keq = a_key[:].T == b_key[:]
         match = keq & (matches >= lpad - differences)
-        m_bf = match.astype(jnp.bfloat16)
+        m_s = match.astype(s1_dtype)
 
         oh1 = (
             a_rep[:].T == lax.broadcasted_iota(jnp.int32, (tile_m, r1p), 1)
@@ -570,10 +714,10 @@ def _make_dense_v2_kernel(
             aw["hi"] = oh1 * h
         for q, (ak, _bk, _s) in zip(qs, chains):
             q[:] += lax.dot_general(
-                aw[ak].astype(jnp.bfloat16),
-                m_bf,
+                aw[ak].astype(s1_dtype),
+                m_s,
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=q_dtype,
             )  # [r1p, TN], exact integer sums (see _v2_run_cap)
 
         @pl.when(flush_ref[i] != 0)
@@ -588,7 +732,7 @@ def _make_dense_v2_kernel(
             acc = None
             for q, (_ak, bk, scale) in zip(qs, chains):
                 t = lax.dot_general(
-                    q[:],
+                    q[:].astype(jnp.float32),
                     bm[bk],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -614,6 +758,7 @@ def _dense_v2_fn(
     r2p: int,
     n_tiles: int,
     interpret: bool = False,
+    int8_stage1: bool = False,
 ):
     kernel = _make_dense_v2_kernel(
         differences=differences,
@@ -623,6 +768,7 @@ def _dense_v2_fn(
         tile_n=tile_n,
         r1p=r1p,
         r2p=r2p,
+        int8_stage1=int8_stage1,
     )
     ohw = NCLASS * lpad
 
@@ -673,7 +819,11 @@ def _dense_v2_fn(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((r1p, tile_n), jnp.float32) for _ in chains
+            pltpu.VMEM(
+                (r1p, tile_n),
+                jnp.int32 if int8_stage1 else jnp.float32,
+            )
+            for _ in chains
         ],
     )
 
@@ -701,15 +851,15 @@ def _dense_v2_eligible(a_dev, b_dev, *, indels, score_int, ignore_counts):
     return ignore_counts or cmax < (1 << 16)
 
 
-def _order_colmajor(work: np.ndarray) -> np.ndarray:
-    """Column-major worklist order (b-block, then a-block): consecutive
-    programs share the b-block, so Pallas skips its DMA refetch and the
-    v2 kernel's stage-2 flush amortises over the run. Accumulation
-    order is irrelevant: every dense partial is exact under the
-    engine's f32 guard, so any order yields identical results."""
-    if len(work) == 0:
-        return work
-    return work[np.lexsort((work[:, 0], work[:, 1]))]
+def _v2_weight_max(chains: tuple, cmax: float) -> int:
+    """Largest a-side stage-1 weight for the chain set: 1 for pure
+    "one" chains (-f), the full count when no high byte exists, else
+    255 (byte-split weights)."""
+    if all(c[0] == "one" for c in chains):
+        return 1
+    return int(cmax) if cmax < 256 else 255
+
+
 
 
 def _flush_flags(chunk: np.ndarray, run_cap: int) -> np.ndarray:
@@ -731,6 +881,24 @@ def _flush_flags(chunk: np.ndarray, run_cap: int) -> np.ndarray:
     return flush
 
 
+def _cached_scratch_shapes(indels: bool, indel_only: bool, lpad: int,
+                           tile_n: int):
+    """(keys, shapes) of the cached b-side one-hot scratch buffers for
+    the key-fused sparse kernels (see _cached_key_match)."""
+    lanes = NCLASS * lpad
+    keys, shapes = [], []
+    if not indel_only:
+        keys.append("bh_i8")
+        shapes.append(pltpu.VMEM((tile_n, lanes), jnp.int8))
+    if indels:
+        nb = _nbands(lpad)
+        keys.append("bw_f")
+        shapes.append(pltpu.VMEM((nb, tile_n, lanes), jnp.bfloat16))
+        keys.append("bw_r")
+        shapes.append(pltpu.VMEM((nb, tile_n, lanes), jnp.bfloat16))
+    return keys, shapes
+
+
 def _make_count_kernel(
     *,
     differences: int,
@@ -743,17 +911,18 @@ def _make_count_kernel(
     indel_only: bool = False,
     use_key: bool = False,
 ):
+    scr_keys, _ = _cached_scratch_shapes(indels, indel_only, lpad, tile_n)
+
     def kernel(rows_ref, cols_ref, *refs):
         if use_key:
             (a_seq, a_rseq, a_key, a_orig,
-             b_seq, b_rseq, b_key, b_orig, out_ref) = refs
-            match, _ = _match_tile_pallas(
-                a_seq[:], a_rseq[:], None, None, None,
-                b_seq[:], b_rseq[:], None, None, None,
-                differences=differences, indels=indels,
-                ignore_genes=ignore_genes, lpad=lpad,
-                tile_m=tile_m, tile_n=tile_n, indel_only=indel_only,
-                a_key=a_key[:].T, b_key=b_key[:],
+             b_seq, b_rseq, b_key, b_orig, out_ref) = refs[: 9]
+            scratch = dict(zip(scr_keys, refs[9:]))
+            match = _cached_key_match(
+                pl.program_id(0), cols_ref,
+                a_seq, a_rseq, a_key, b_seq, b_rseq, b_key, scratch,
+                differences=differences, indels=indels, lpad=lpad,
+                indel_only=indel_only,
             )
         else:
             (a_seq, a_rseq, a_len, a_v, a_j, a_orig,
@@ -875,6 +1044,9 @@ def _count_pallas_fn(
             bT_spec(1),  # b_j
             bT_spec(1),  # b_orig
         ]
+    _keys, scr_shapes = _cached_scratch_shapes(
+        indels, indel_only, lpad, tile_n
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -884,6 +1056,7 @@ def _count_pallas_fn(
             index_map=lambda i, rows, cols: (i // 1024,),
             memory_space=pltpu.SMEM,
         ),
+        scratch_shapes=scr_shapes if use_key else [],
     )
 
     assert n_tiles % 1024 == 0, "count worklist must be a 1024-multiple"
@@ -914,18 +1087,18 @@ def _make_extract_kernel(
     (weights <= 2^15, row sums < 2^24, so f32 arithmetic is exact);
     lo|hi<<16 reassembles the 32-bit words."""
     wpr = tile_n // 32
+    scr_keys, _ = _cached_scratch_shapes(indels, indel_only, lpad, tile_n)
 
     def kernel(rows_ref, cols_ref, *refs):
         if use_key:
             (a_seq, a_rseq, a_key, a_orig,
-             b_seq, b_rseq, b_key, b_orig, out_ref) = refs
-            match, _ = _match_tile_pallas(
-                a_seq[:], a_rseq[:], None, None, None,
-                b_seq[:], b_rseq[:], None, None, None,
-                differences=differences, indels=indels,
-                ignore_genes=ignore_genes, lpad=lpad,
-                tile_m=tile_m, tile_n=tile_n, indel_only=indel_only,
-                a_key=a_key[:].T, b_key=b_key[:],
+             b_seq, b_rseq, b_key, b_orig, out_ref) = refs[: 9]
+            scratch = dict(zip(scr_keys, refs[9:]))
+            match = _cached_key_match(
+                pl.program_id(0), cols_ref,
+                a_seq, a_rseq, a_key, b_seq, b_rseq, b_key, scratch,
+                differences=differences, indels=indels, lpad=lpad,
+                indel_only=indel_only,
             )
         else:
             (a_seq, a_rseq, a_len, a_v, a_j, a_orig,
@@ -1067,6 +1240,9 @@ def _extract_pallas_fn(
             bT_spec(1),  # b_j
             bT_spec(1),  # b_orig
         ]
+    _keys, scr_shapes = _cached_scratch_shapes(
+        indels, indel_only, lpad, tile_n
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -1076,6 +1252,7 @@ def _extract_pallas_fn(
             index_map=lambda i, rows, cols: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=scr_shapes if use_key else [],
     )
 
     pall = pl.pallas_call(
@@ -1148,16 +1325,18 @@ MAX_TILES_PER_CALL = 1 << 16  # scalar-prefetch rows+cols must fit SMEM
 
 
 def _pad_target(c: int, minimum: int) -> int:
-    """Padded grid size for a dispatch chunk: pow2 up to 4096, then
-    4096-multiples — bounds the set of compiled grid sizes while
-    capping padding waste at ~6% for large worklists (pow2 alone
-    wastes up to 2x: a 41k-tile worklist padded to 65k runs 1.6x the
-    real work). Both ladders satisfy the count kernel's 1024-multiple
-    output-block constraint."""
+    """Padded grid size for a dispatch chunk: pow2 up to 2048, then
+    multiples of max(minimum, 256) — bounds the set of compiled grid
+    sizes while capping padding waste at ~6% (pow2 alone wastes up to
+    2x: a 3.2k-tile dense worklist padded to 4096 ran 29% dummy
+    programs; the persistent compile cache absorbs the finer ladder).
+    `minimum` also sets the step, so the count kernel's 1024-multiple
+    output-block constraint holds on its path (minimum=1024)."""
     t = max(minimum, c, 1)
-    if t <= 4096:
+    if t <= 2048:
         return max(minimum, 1 << (t - 1).bit_length())
-    return -(-t // 4096) * 4096
+    step = max(minimum, 256)
+    return -(-t // step) * step
 
 
 def _chunk_worklist(work: np.ndarray, tile_m: int, tile_n: int,
@@ -1675,7 +1854,9 @@ def dense_matrix_pallas_prepared(
     if use_v2:
         cmax = max(a_dev.get("cmax", 0.0), b_dev.get("cmax", 0.0))
         chains = _v2_chains(score_int, ignore_counts, cmax)
-        run_cap = _v2_run_cap(tile_m)
+        wmax = _v2_weight_max(chains, cmax)
+        int8_s1 = wmax <= 127
+        run_cap = _v2_run_cap(tile_m, wmax)
     prepared = []
     for chunk, _c in _chunk_worklist(
         _order_colmajor(work), tile_m, tile_n, npad_a, npad_b, 64
@@ -1690,7 +1871,7 @@ def dense_matrix_pallas_prepared(
             fn0 = _dense_v2_fn(
                 differences, chains,
                 lpad, tile_m, tile_n, r1p, r2p, int(len(chunk)),
-                interpret,
+                interpret, int8_s1,
             )
             flush = jax.device_put(_flush_flags(chunk, run_cap), dev)
 
@@ -1755,14 +1936,18 @@ def _dense_pallas_chunk(
     ):
         cmax = max(a_dev.get("cmax", 0.0), b_dev.get("cmax", 0.0))
         chains = _v2_chains(score_int, ignore_counts, cmax)
+        wmax = _v2_weight_max(chains, cmax)
         fn = _dense_v2_fn(
             differences, chains,
             lpad, tile_m, tile_n, r1p, r2p, int(len(rows)), interpret,
+            wmax <= 127,
         )
         return fn(
             jax.device_put(rows, dev),
             jax.device_put(cols, dev),
-            jax.device_put(_flush_flags(work, _v2_run_cap(tile_m)), dev),
+            jax.device_put(
+                _flush_flags(work, _v2_run_cap(tile_m, wmax)), dev
+            ),
             a_dev["oh"],
             a_dev["key32"],
             a_dev["rep"],

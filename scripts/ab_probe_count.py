@@ -39,12 +39,18 @@ d1 = bench.synth_arrays(n, n_reps=60, n_v=48, n_j=13, seed=21)
 tile = 512
 lmax = _round_up(int(d1.longest), 8)
 order, key, npad = pack_keys(d1, tile, True)
-pa, pb = device_rows_raw(d1, order, npad, lmax, indels=True)
+# sort_key engages the fused-key kernels (the production path since
+# round 3; round 4 adds cached b-side one-hots on top)
+pa, pb = device_rows_raw(
+    d1, order, npad, lmax, indels=True, sort_key=key, pad_salt=0
+)
 work = worklist_from_keys(key, d1.n, key, d1.n, 1, tile, tile)
 has_eq, has_pm = classify_worklist(work, key, d1.n, key, d1.n, tile, tile)
 mixed = work[has_eq & has_pm]
 print("tiles total", len(work), "mixed", len(mixed), flush=True)
-mixed = mixed[:max_tiles]
+# column-major, as find_pairs orders its streams since round 4
+# (inlined so the probe also runs against pre-round-4 trees)
+mixed = mixed[np.lexsort((mixed[:, 0], mixed[:, 1]))][:max_tiles]
 kw = dict(differences=1, indels=True, ignore_genes=False,
           exclude_self=True, tile_m=tile, tile_n=tile)
 c = count_tiles_pallas(pa, pb, mixed[:1024], **kw)  # warmup/compile

@@ -19,6 +19,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Pin routing to the tunnel profile so route choices (tile sizes,
+# device-split thresholds) stay reproducible regardless of the test
+# host's measured dispatch RTT; test_routing asserts the derivations.
+os.environ.setdefault("COMPAIRR_ROUTE_PROFILE", "tunnel")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REF_TEST_DIR = "/root/reference/test"

@@ -115,7 +115,7 @@ def test_dense_v2_chain_modes(dbs, score, f, monkeypatch):
         return real(*a, **k)
 
     monkeypatch.setattr(P, "_dense_v2_fn", probe)
-    monkeypatch.setattr(P, "_v2_run_cap", lambda tile_m: 2)
+    monkeypatch.setattr(P, "_v2_run_cap", lambda *a: 2)
     dm = dense_matrix(d1, d2, spec, score, f, engine="pallas")
     assert calls, "v2 kernel was not selected"
     if f:
@@ -126,39 +126,48 @@ def test_dense_v2_chain_modes(dbs, score, f, monkeypatch):
     np.testing.assert_allclose(dm, sm, rtol=0, atol=0)
 
 
-def test_dense_v2_high_byte_counts(tmp_path, monkeypatch):
-    """Counts >= 256 must engage the high-byte chain and still match
-    the sparse f64 path exactly."""
+@pytest.mark.parametrize("max_count", [280, 200])
+def test_dense_v2_high_byte_counts(tmp_path, monkeypatch, max_count):
+    """Counts >= 256 must engage the high-byte chain (bf16 stage-1);
+    counts in [128, 256) take the single-chain bf16 path (no int8
+    shortcut, no high byte). Both must match the sparse f64 path
+    exactly."""
     from compairr_tpu.ops import pallas_kernels as P
 
-    # counts straddle 256 but stay small enough that no single tile's
-    # exactness bound reaches 2^24 (which would route it to the host
-    # tile path and bypass the kernel under test)
+    # counts stay small enough that no single tile's exactness bound
+    # reaches 2^24 (which would route it to the host tile path and
+    # bypass the kernel under test)
     a_path = make_tsv(
         str(tmp_path / "a.tsv"), 100, 5, seed=31, alphabet_sub=5,
-        max_count=280,
+        max_count=max_count,
     )
     b_path = make_tsv(
         str(tmp_path / "b.tsv"), 120, 5, seed=32, alphabet_sub=5,
-        max_count=280,
+        max_count=max_count,
     )
     genes = GeneTables()
     opt = Options()
     log = NullLogger()
     d1 = read_db(a_path, opt, genes, log, False, "1")
     d2 = read_db(b_path, opt, genes, log, False, "2")
-    assert max(d1.counts.max(), d2.counts.max()) >= 256
+    cmax = max(d1.counts.max(), d2.counts.max())
+    assert (cmax >= 256) == (max_count == 280) and cmax >= 128
     spec = MatchSpec(differences=1, indels=False, ignore_genes=False)
     calls = []
     real = P._dense_v2_fn
 
     def probe(*a, **k):
-        calls.append(a[1])
+        calls.append(a)
         return real(*a, **k)
 
     monkeypatch.setattr(P, "_dense_v2_fn", probe)
     dm = dense_matrix(d1, d2, spec, SCORE_PRODUCT, False, engine="pallas")
-    assert calls and ("hi", "cnt", 256.0) in calls[0]
+    assert calls
+    chains = calls[0][1]
+    has_hi = ("hi", "cnt", 256.0) in chains
+    assert has_hi == (cmax >= 256)
+    # int8 stage-1 must be off in this count range
+    assert all(len(a) < 11 or a[10] is False for a in calls)
     sm = sparse_matrix(d1, d2, spec, SCORE_PRODUCT, False)
     np.testing.assert_allclose(dm, sm, rtol=0, atol=0)
 
@@ -446,6 +455,63 @@ def test_pallas_extract_kernel_matches_xla(dbs, d, indels, xself):
         np.asarray(v0)[: int(n0)].astype(np.uint32),
         np.asarray(v1)[: int(n1)].astype(np.uint32),
     )
+
+
+@pytest.mark.parametrize("d,indels", [(1, True), (2, False)])
+def test_pallas_count_cached_b_reuse(dbs, d, indels):
+    """The cached-b-side count kernel must be order-invariant: a
+    column-major worklist (long same-column runs exercising the VMEM
+    cache REUSE path) and the raw row-major one (rebuilding nearly
+    every program) must both match the XLA oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from compairr_tpu.ops.engine import (
+        MatchSpec,
+        _count_fn,
+        _round_up,
+        order_colmajor,
+        pack_keys,
+        pack_set,
+        pad_worklist_n,
+        worklist_from_keys,
+    )
+    from compairr_tpu.ops.pallas_kernels import (
+        count_tiles_pallas,
+        device_rows_raw,
+    )
+
+    d1, d2 = dbs
+    spec = MatchSpec(differences=d, indels=indels, ignore_genes=False)
+    lmax = _round_up(int(max(d1.longest, d2.longest)), 8)
+    oa, ka, na = pack_keys(d1, 128, True)
+    ob, kb, nb = pack_keys(d2, 128, True)
+    pa, _ = device_rows_raw(d1, oa, na, lmax, sort_key=ka, pad_salt=0)
+    _, pb = device_rows_raw(d2, ob, nb, lmax, sort_key=kb, pad_salt=2)
+    psa = pack_set(d1, lmax, 128, True)
+    psb = pack_set(d2, lmax, 128, True)
+    dev = jax.device_put
+    ra = (dev(psa.seqs), dev(psa.rseqs), dev(psa.lengths), dev(psa.v),
+          dev(psa.j), dev(psa.orig))
+    rb = (dev(psb.seqs), dev(psb.rseqs), dev(psb.lengths), dev(psb.v),
+          dev(psb.j), dev(psb.orig))
+    delta = 1 if (indels and d == 1) else 0
+    raw = worklist_from_keys(ka, d1.n, kb, d2.n, delta, 128, 128)
+    for work in (order_colmajor(raw), raw):
+        wp = pad_worklist_n(work, na, nb, 128, 128)
+        c_xla = np.asarray(
+            _count_fn(spec, 128, 128)(*ra, *rb, jnp.asarray(wp))
+        )
+        c_pal = np.asarray(
+            count_tiles_pallas(
+                pa, pb, wp,
+                differences=d, indels=indels and d == 1,
+                ignore_genes=False, exclude_self=False,
+                tile_m=128, tile_n=128, interpret=True,
+            )
+        ).ravel()
+        np.testing.assert_array_equal(c_xla, c_pal)
+    assert c_xla.sum() > 0
 
 
 def test_chunked_derive_matches_host_pack(dbs, monkeypatch):
