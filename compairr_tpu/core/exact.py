@@ -23,6 +23,7 @@ def group_ids(
     *,
     include_genes: bool,
     include_rep: bool,
+    progress=None,
 ) -> tuple[np.ndarray, int]:
     """Assign a group id to every sequence.
 
@@ -50,7 +51,10 @@ def group_ids(
         if meta_cols
         else np.zeros((n, 0), dtype=np.int32)
     )
-    return group_rows(db.seqs, meta, db.pad_value, prehash=db.row_hash)
+    return group_rows(
+        db.seqs, meta, db.pad_value, prehash=db.row_hash,
+        progress=progress,
+    )
 
 
 def group_rows(
@@ -58,6 +62,7 @@ def group_rows(
     meta: np.ndarray,
     pad_value: int,
     prehash: Optional[np.ndarray] = None,
+    progress=None,
 ) -> tuple[np.ndarray, int]:
     """Group identical (row, meta) records, ids numbered by first
     occurrence. Padded rows are injective (the pad code is not a
@@ -73,7 +78,7 @@ def group_rows(
 
     from ..io.native import group_rows_native
 
-    nat = group_rows_native(seqs, meta, prehash)
+    nat = group_rows_native(seqs, meta, prehash, progress=progress)
     if nat is not None:
         return nat
 
@@ -145,6 +150,7 @@ def count_duplicates(
     *,
     include_genes: bool,
     match_groups: Optional[np.ndarray] = None,
+    progress=None,
 ) -> int:
     """Number of entries that have an earlier exact duplicate
     (same repertoire + genes-unless-ignored + sequence), i.e. the
@@ -157,7 +163,10 @@ def count_duplicates(
     re-hashing every residue row."""
     if match_groups is not None:
         return db.n - count_refined_groups(match_groups, db.rep_no)
-    _, n_groups = group_ids(db, include_genes=include_genes, include_rep=True)
+    _, n_groups = group_ids(
+        db, include_genes=include_genes, include_rep=True,
+        progress=progress,
+    )
     return db.n - n_groups
 
 

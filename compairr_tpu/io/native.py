@@ -64,6 +64,11 @@ def load_library():
     if hasattr(lib, "airr_parse_progress"):
         lib.airr_parse_progress.restype = ct.c_int64
         lib.airr_parse_progress.argtypes = []
+    if hasattr(lib, "group_progress"):
+        lib.group_progress.restype = ct.c_int64
+        lib.group_progress.argtypes = []
+        lib.group_progress_reset.restype = None
+        lib.group_progress_reset.argtypes = []
     if hasattr(lib, "airr_drop_residues"):
         lib.airr_drop_residues.argtypes = [ct.c_void_p]
         lib.airr_drop_residues.restype = None
@@ -727,12 +732,58 @@ def pack_rows_native(flat, lens, lmax: int, pad: int):
     return out
 
 
-def group_rows_native(seqs, meta, prehash=None):
+class group_progress_poll:
+    """Interactive progress for the native grouping passes: ctypes
+    releases the GIL for the blocking C call, so a daemon thread polls
+    the library's atomic row counter (~20 Hz — a couple hundred
+    redraws for a multi-second Keck grouping, the reference's
+    granularity, /root/reference/src/util.cc:28) and forwards it to
+    `progress` (typically logger.progress_update). A no-op when
+    `progress` is None or the library lacks the counter."""
+
+    def __init__(self, lib, progress):
+        self.lib = lib
+        self.progress = (
+            progress
+            if progress is not None
+            and lib is not None
+            and hasattr(lib, "group_progress")
+            else None
+        )
+        self._stop = None
+        self._thread = None
+
+    def __enter__(self):
+        if self.progress is None:
+            return self
+        import threading
+
+        self.lib.group_progress_reset()
+        self._stop = threading.Event()
+
+        def _poll():
+            while not self._stop.wait(0.05):
+                self.progress(int(self.lib.group_progress()))
+
+        self._thread = threading.Thread(target=_poll, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        if self._thread is not None:
+            self._stop.set()
+            self._thread.join()
+        return False
+
+
+def group_rows_native(seqs, meta, prehash=None, progress=None):
     """Exact-duplicate grouping (first-occurrence numbering) via the
     native open-addressing table. seqs is [n, row_bytes] int8, meta
     [n, m] int32 (may have m == 0); prehash optionally carries the
-    parser's per-row content hashes. Returns (group_ids, n_groups) or
-    None when the native library is unavailable."""
+    parser's per-row content hashes. `progress` (rows-done callback)
+    drives interactive redraws during the GIL-released call. Returns
+    (group_ids, n_groups) or None when the native library is
+    unavailable."""
     if os.environ.get("COMPAIRR_NATIVE_IO") == "0":
         return None
     lib = load_library()
@@ -754,27 +805,28 @@ def group_rows_native(seqs, meta, prehash=None):
     else:
         hp = ct.cast(None, ct.POINTER(ct.c_uint64))
     threads = _grouping_threads()
-    if threads > 1 and hasattr(lib, "group_rows_pre_mt"):
-        ng = lib.group_rows_pre_mt(
-            seqs.ctypes.data_as(ct.POINTER(ct.c_int8)),
-            n,
-            seqs.shape[1],
-            mp,
-            m,
-            hp,
-            threads,
-            out.ctypes.data_as(ct.POINTER(ct.c_int64)),
-        )
-    else:
-        ng = lib.group_rows_pre(
-            seqs.ctypes.data_as(ct.POINTER(ct.c_int8)),
-            n,
-            seqs.shape[1],
-            mp,
-            m,
-            hp,
-            out.ctypes.data_as(ct.POINTER(ct.c_int64)),
-        )
+    with group_progress_poll(lib, progress):
+        if threads > 1 and hasattr(lib, "group_rows_pre_mt"):
+            ng = lib.group_rows_pre_mt(
+                seqs.ctypes.data_as(ct.POINTER(ct.c_int8)),
+                n,
+                seqs.shape[1],
+                mp,
+                m,
+                hp,
+                threads,
+                out.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            )
+        else:
+            ng = lib.group_rows_pre(
+                seqs.ctypes.data_as(ct.POINTER(ct.c_int8)),
+                n,
+                seqs.shape[1],
+                mp,
+                m,
+                hp,
+                out.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            )
     if ng < 0:
         return None
     return out, int(ng)
@@ -986,11 +1038,13 @@ def pack5_rows_native(seqs, n_rows_out: int, lpad: int, nw: int,
     return out
 
 
-def group_pieces_native(seqs, lengths, meta, piece: int, pieces: int):
+def group_pieces_native(seqs, lengths, meta, piece: int, pieces: int,
+                        progress=None):
     """Fused pigeonhole piece grouping (native/pack_group.cpp
     group_pieces): groups rows by their p-th length-proportional piece
     plus meta, reading the piece ranges in place. meta must include
-    the length column. Returns (group_ids, n_groups) or None."""
+    the length column. `progress` (rows-done callback) drives
+    interactive redraws. Returns (group_ids, n_groups) or None."""
     if os.environ.get("COMPAIRR_NATIVE_IO") == "0":
         return None
     lib = load_library()
@@ -1005,6 +1059,17 @@ def group_pieces_native(seqs, lengths, meta, piece: int, pieces: int):
         return None
     out = np.empty(n, dtype=np.int64)
     threads = _grouping_threads()
+    with group_progress_poll(lib, progress):
+        ng = _group_pieces_call(
+            lib, seqs, lengths, meta, n, m, piece, pieces, threads, out
+        )
+    if ng < 0:
+        return None
+    return out, int(ng)
+
+
+def _group_pieces_call(lib, seqs, lengths, meta, n, m, piece, pieces,
+                       threads, out):
     if threads > 1 and hasattr(lib, "group_pieces_mt"):
         ng = lib.group_pieces_mt(
             seqs.ctypes.data_as(ct.POINTER(ct.c_int8)),
@@ -1030,6 +1095,4 @@ def group_pieces_native(seqs, lengths, meta, piece: int, pieces: int):
             pieces,
             out.ctypes.data_as(ct.POINTER(ct.c_int64)),
         )
-    if ng < 0:
-        return None
-    return out, int(ng)
+    return ng

@@ -284,6 +284,7 @@ def overlap(
                     match_groups=(
                         exact_groups[0] if exact_groups is not None else None
                     ),
+                    progress=logger.progress_update,
                 )
             logger.progress_update(d1.n)
             logger.progress_done()
@@ -308,6 +309,7 @@ def overlap(
                 match_groups=(
                     exact_groups[1] if exact_groups is not None else None
                 ),
+                progress=logger.progress_update,
             )
         logger.progress_update(d2.n)
         logger.progress_done()

@@ -285,7 +285,15 @@ def pack_keys(db: SeqDB, tile: int, by_vjl: bool):
         key_real = (vj << 16) | db.lengths.astype(np.int64)
     else:
         key_real = db.lengths.astype(np.int64)
-    order = np.argsort(key_real, kind="stable").astype(np.int32)
+    # int32 keys sort ~2x faster (radix passes scale with width; the
+    # argsort is ~8 s of a Keck run's critical path in int64) and are
+    # exactly the fused-kernel eligibility domain anyway
+    sort_view = (
+        key_real.astype(np.int32)
+        if n == 0 or key_real.max() < (1 << 31)
+        else key_real
+    )
+    order = np.argsort(sort_view, kind="stable").astype(np.int32)
     npad = canon_rows(n, tile)
     key = np.full(npad, _KEY_PAD, dtype=np.int64)
     if n:
@@ -1348,7 +1356,12 @@ def _pair_plan(db1: SeqDB, db2: SeqDB, spec: MatchSpec, on_tpu: bool):
         tile = TILE_M
     else:
         tile = 512
-    s_extract = max(64, (1 << 22) // (tile * (tile // 32)))
+    # slabs sized for a constant 16M match-words (67 MB device temp)
+    # per dispatch: each slab costs one ~RTT consume round trip, and
+    # 512-tile slabs made a Keck extraction pay 585 of them (~44 s
+    # over the tunnel); the two-level nonzero keeps the per-slab
+    # device epilogue cheap at this size
+    s_extract = max(64, (1 << 24) // (tile * (tile // 32)))
     return tile, s_extract, lmax, by_vjl, use_indels
 
 
@@ -1723,10 +1736,16 @@ def find_pairs(
         )
 
         def make_run_slab(s_ind, s_io):
+            # k (the record-buffer size, and so the download size) is a
+            # per-slab pow2 sized from the slab's EXACT match count:
+            # the fixed k_cap buffer downloaded ~300x more bytes than
+            # the matches it carried (2.1 MB/slab over a ~15 MB/s
+            # tunnel dominated the whole extraction phase at Keck
+            # scale). One cached compile per (kernel class, k) rung.
             if on_tpu:
                 from .pallas_kernels import extract_tiles_pallas
 
-                def run_slab(slab, di):
+                def run_slab(slab, di, k):
                     _ra, _rb, rpa, rpb = replicas[di]
                     return extract_tiles_pallas(
                         rpa, rpb, slab,
@@ -1734,16 +1753,15 @@ def find_pairs(
                         indels=s_ind,
                         ignore_genes=spec.ignore_genes,
                         exclude_self=spec.exclude_self,
-                        tile_m=tile, tile_n=tile, k=k_cap,
+                        tile_m=tile, tile_n=tile, k=k,
                         indel_only=s_io,
                     )
             else:
-                run = _extract_fn(
-                    spec, tile, tile, s_extract, k_cap,
-                    indels_ov=s_ind, indel_only=s_io,
-                )
-
-                def run_slab(slab, di):
+                def run_slab(slab, di, k):
+                    run = _extract_fn(
+                        spec, tile, tile, s_extract, k,
+                        indels_ov=s_ind, indel_only=s_io,
+                    )
                     ra, rb, _rpa, _rpb = replicas[di]
                     return run(
                         *ra, *rb,
@@ -1755,11 +1773,47 @@ def find_pairs(
         wpr = tile // 32  # match-bit words per tile row
         wpt = tile * wpr  # words per tile
 
-        # dispatch every slab asynchronously first (device queues the
-        # work; slabs round-robin across the device replicas), then
-        # download: D2H transfers overlap the remaining slab compute
-        # instead of serialising one round trip per slab
-        pending = []
+        # dispatch slabs asynchronously a bounded WINDOW ahead (device
+        # queues the work; slabs round-robin across the device
+        # replicas) and download as the window fills: D2H transfers
+        # overlap the remaining slab compute without queueing the
+        # whole run — an unbounded queue held every pending dispatch's
+        # output + workspace on device at once, which at Keck scale
+        # (585 slabs) exhausted HBM on the tunnel backend.
+        from collections import deque
+
+        window = max(
+            1, int(os.environ.get("COMPAIRR_EXTRACT_INFLIGHT", "16"))
+        ) * max(1, n_dev)
+        pending: deque = deque()
+        done = 0
+
+        def consume():
+            nonlocal done
+            slab, nreal, res = pending.popleft()
+            # one batched D2H for all three outputs: per-array
+            # np.asarray round trips cost ~an RTT each over the tunnel
+            widx, wvals, cnt = jax.device_get(res)
+            cnt = int(cnt)
+            widx = widx[:cnt].astype(np.int64)
+            wvals = wvals[:cnt].astype(np.uint32)
+            if cnt:
+                tz = widx // wpt
+                mz = (widx % wpt) // wpr
+                wc = widx % wpr
+                ra = slab[tz, 0].astype(np.int64)
+                rb = slab[tz, 1].astype(np.int64)
+                for b in range(32):
+                    sel = np.nonzero(
+                        (wvals >> np.uint32(b)) & np.uint32(1)
+                    )[0]
+                    if len(sel):
+                        out1.append(orig_a[ra[sel] + mz[sel]])
+                        out2.append(orig_b[rb[sel] + wc[sel] * 32 + b])
+            done += nreal
+            if logger is not None and progress_prompt is not None:
+                logger.progress_update(done)
+
         di = 0
         for fwork, tile_counts, s_ind, s_io in filtered:
             run_slab = make_run_slab(s_ind, s_io)
@@ -1786,32 +1840,18 @@ def find_pairs(
                     slab = np.concatenate(
                         [slab, np.repeat(dummy, s_extract - nreal, axis=0)]
                     )
-                pending.append((slab, nreal, run_slab(slab, di)))
+                k_slab = 1 << max(
+                    12, int(max(acc, 1) - 1).bit_length()
+                )  # pow2 >= acc (matched words <= matches)
+                pending.append((slab, nreal, run_slab(slab, di, k_slab)))
                 di = (di + 1) % n_dev
                 s0 = s1
+                while len(pending) >= window:
+                    consume()
 
         tm.lap("extract_dispatch")
-        done = 0
-        for slab, nreal, (widx, wvals, cnt) in pending:
-            cnt = int(cnt)
-            widx = np.asarray(widx)[:cnt].astype(np.int64)
-            wvals = np.asarray(wvals)[:cnt].astype(np.uint32)
-            if cnt:
-                tz = widx // wpt
-                mz = (widx % wpt) // wpr
-                wc = widx % wpr
-                ra = slab[tz, 0].astype(np.int64)
-                rb = slab[tz, 1].astype(np.int64)
-                for b in range(32):
-                    sel = np.nonzero(
-                        (wvals >> np.uint32(b)) & np.uint32(1)
-                    )[0]
-                    if len(sel):
-                        out1.append(orig_a[ra[sel] + mz[sel]])
-                        out2.append(orig_b[rb[sel] + wc[sel] * 32 + b])
-            done += nreal
-            if logger is not None and progress_prompt is not None:
-                logger.progress_update(done)
+        while pending:
+            consume()
 
     if logger is not None and progress_prompt is not None:
         logger.progress_done()

@@ -1268,9 +1268,26 @@ def _extract_pallas_fn(
     def run(rows, cols, *args):
         words = pall(rows, cols, *args)
         flat = words.reshape(-1)
-        count = jnp.sum((flat != 0).astype(jnp.int32))
-        (idx,) = jnp.nonzero(flat, size=k, fill_value=0)
-        vals = jnp.take(flat, idx)
+        # two-level compaction: jnp.nonzero costs ~9 ms per million
+        # input elements on TPU, so run it on a 32x-reduced "block has
+        # any nonzero word" bitmap first, then on the gathered blocks
+        # only. Records (ascending flat indices + word values) are
+        # identical to a direct nonzero over flat.
+        blocks = flat.reshape(-1, 32)
+        flags = jnp.any(blocks != 0, axis=1)
+        bcnt = jnp.sum(flags.astype(jnp.int32))
+        (bidx,) = jnp.nonzero(flags, size=k, fill_value=0)
+        sub = jnp.take(blocks, bidx, axis=0)  # [k, 32]
+        # rows past bcnt replay block bidx[0]=0 (fill_value) whose
+        # words may be real matches — mask them out
+        sub = jnp.where(
+            jnp.arange(k, dtype=jnp.int32)[:, None] < bcnt, sub, 0
+        )
+        subf = sub.reshape(-1)
+        count = jnp.sum((subf != 0).astype(jnp.int32))
+        (p2,) = jnp.nonzero(subf, size=k, fill_value=0)
+        vals = jnp.take(subf, p2)
+        idx = bidx[p2 // 32] * 32 + (p2 % 32)
         return idx.astype(jnp.int32), vals, count
 
     return run
@@ -1630,6 +1647,39 @@ def _gather_derive_fn(pad_val: int, lmax: int, with_indels: bool,
 
 
 @lru_cache(maxsize=None)
+def _gather_sparse_key_fn(pad_val: int, lmax: int, with_indels: bool):
+    """Key-fused sparse derive: when the fused bucket key fits int32
+    (the production case), the key row itself carries the per-row
+    length in its low 16 bits, so the lengths/v/j uploads are skipped
+    entirely (~20% of the Keck host->device bytes; the tunnel transfer
+    is the end-to-end bottleneck). Pad rows' key-derived "lengths" are
+    garbage, which is harmless: their residue rows are all-pad (any
+    reversal is still all-pad) and the salted pad-band keys never pass
+    the kernels' key-distance test."""
+
+    @jax.jit
+    def f(seqs_packed, key_row, sentinel, order):
+        npad = order.shape[0]
+        lengths_s = jnp.clip(
+            (key_row.reshape(npad) & 0xFFFF).astype(jnp.int32), 0, lmax
+        )
+        seqs_s, rseqs = _gathered_seqs(
+            seqs_packed, lengths_s, order, pad_val, lmax, with_indels
+        )
+        orig_s = jnp.where(order >= sentinel, jnp.int32(-1), order)
+        pa = dict(
+            seqs=seqs_s,
+            rseqs=rseqs if with_indels else None,
+            key32=key_row,
+            orig=orig_s.reshape(1, npad),
+        )
+        pb = dict(pa)
+        return pa, pb
+
+    return f
+
+
+@lru_cache(maxsize=None)
 def _gather_sparse_fn(pad_val: int, lmax: int, with_indels: bool):
     """Sparse-path derive: the [Np,1]/[1,Np] layouts the Pallas
     count/extract kernels consume, from one raw (packed) upload.
@@ -1703,15 +1753,6 @@ def device_rows_raw(db, order: np.ndarray, npad: int, lpad: int,
     order_full = np.full(npad, n, dtype=np.int32)
     order_full[:n] = order
     dev = jax.device_put
-    pa, pb = _gather_sparse_fn(pad_val, lpad, indels)(
-        dev(_packed_upload(db, m, lpad, pad_val)),
-        dev(_shrink(db.lengths, -1, m)),
-        dev(_shrink(db.v_no, -1, m)),
-        dev(_shrink(db.j_no, -1, m)),
-        jnp.int32(n),
-        dev(order_full),
-    )
-    pa, pb = dict(pa), dict(pb)
     if sort_key is not None and (
         n == 0 or int(sort_key[:n].max()) < _KEY_FUSE_MAX
     ):
@@ -1723,8 +1764,24 @@ def device_rows_raw(db, order: np.ndarray, npad: int, lpad: int,
         k32[n:] = (_KEY_FUSE_MAX + 2 + pad_salt) + 4 * np.arange(
             npad - n, dtype=np.int32
         )
-        pa["key32"] = pb["key32"] = dev(k32.reshape(1, npad))
-    return pa, pb
+        # key-fused derive: the key row carries the lengths, so the
+        # lengths/v/j uploads are skipped (see _gather_sparse_key_fn)
+        pa, pb = _gather_sparse_key_fn(pad_val, lpad, indels)(
+            dev(_packed_upload(db, m, lpad, pad_val)),
+            dev(k32.reshape(1, npad)),
+            jnp.int32(n),
+            dev(order_full),
+        )
+        return dict(pa), dict(pb)
+    pa, pb = _gather_sparse_fn(pad_val, lpad, indels)(
+        dev(_packed_upload(db, m, lpad, pad_val)),
+        dev(_shrink(db.lengths, -1, m)),
+        dev(_shrink(db.v_no, -1, m)),
+        dev(_shrink(db.j_no, -1, m)),
+        jnp.int32(n),
+        dev(order_full),
+    )
+    return dict(pa), dict(pb)
 
 
 def _shrink(x: np.ndarray, sentinel: int, m: int) -> np.ndarray:

@@ -363,8 +363,13 @@ def _find_pairs_pigeonhole(
     n1, n2 = db1.n, db2.n
     same = db2 is db1
     started = logger is not None and progress_prompt is not None
+    ntotal = n1 if same else n1 + n2  # rows per grouping pass
     if started:
-        logger.progress_init(progress_prompt, pieces + 1)
+        # progress in rows: pieces+1 phases of ntotal rows each (d+1
+        # grouping passes + the verification pass), ticked mid-pass by
+        # the native grouping's row counter for interactive parity with
+        # the reference's ~200 redraws (/root/reference/src/util.cc:28)
+        logger.progress_init(progress_prompt, (pieces + 1) * max(ntotal, 1))
     if n1 == 0 or n2 == 0:
         z = np.zeros(0, dtype=np.int64)
         if started:
@@ -399,7 +404,15 @@ def _find_pairs_pigeonhole(
     for p in range(pieces):
         # fused native pass reads the piece ranges in place; the numpy
         # fallback materialises gathered piece rows first
-        nat = group_pieces_native(g_seqs, g_lens, metas, p, pieces)
+        tick = (
+            (lambda v, _p=p: logger.progress_update(
+                _p * ntotal + min(v, ntotal)))
+            if started
+            else None
+        )
+        nat = group_pieces_native(
+            g_seqs, g_lens, metas, p, pieces, progress=tick
+        )
         tm.lap(f"group_p{p}")
         if nat is not None:
             g, _ng = nat
@@ -437,7 +450,7 @@ def _find_pairs_pigeonhole(
         cand_keys.append(i1 * np.int64(n2) + i2)
         tm.lap(f"join_p{p}")
         if started:
-            logger.progress_update(p + 1)
+            logger.progress_update((p + 1) * ntotal)
 
     keys = np.unique(np.concatenate(cand_keys))
     i1 = keys // n2
@@ -459,7 +472,7 @@ def _find_pairs_pigeonhole(
     tm.report("pigeonhole")
 
     if started:
-        logger.progress_update(pieces + 1)
+        logger.progress_update((pieces + 1) * ntotal)
         logger.progress_done()
     return i1, i2, dist
 

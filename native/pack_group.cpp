@@ -24,7 +24,17 @@
 
 #include <sys/mman.h>
 
+// Rows processed by the grouping passes since the last reset — polled
+// from Python (~20 Hz) during the GIL-released ctypes call to drive
+// interactive progress redraws, like airr_parser.cpp's byte counter
+// (reference granularity: ~200 updates/phase, util.cc:28).
+static std::atomic<int64_t> g_group_progress{0};
+
 namespace {
+
+inline void progress_add(int64_t rows) {
+  g_group_progress.fetch_add(rows, std::memory_order_relaxed);
+}
 
 inline uint64_t mix64(uint64_t x) {
   // splitmix64 finaliser
@@ -183,7 +193,9 @@ int64_t group_mt(int64_t n, int n_threads, HashFn&& hf, EqFn&& eq,
 
   std::vector<int32_t> leader((size_t)n);
   auto worker = [&](int64_t lo, int64_t hi) {
+    int64_t since = 0;
     for (int64_t i = lo; i < hi; ++i) {
+      if (++since == 4096) { progress_add(since); since = 0; }
       uint64_t h = hf(i);
       const uint64_t tag = h & 0xffffffff00000000ULL;
       const uint64_t entry = tag | (uint64_t)(uint32_t)(i + 1);
@@ -209,6 +221,7 @@ int64_t group_mt(int64_t n, int n_threads, HashFn&& hf, EqFn&& eq,
         j = (j + 1) & mask;
       }
     }
+    progress_add(since);
   };
 
   int T = n_threads < 1 ? 1 : n_threads;
@@ -236,6 +249,14 @@ int64_t group_mt(int64_t n, int n_threads, HashFn&& hf, EqFn&& eq,
 }  // namespace
 
 extern "C" {
+
+int64_t group_progress() {
+  return g_group_progress.load(std::memory_order_relaxed);
+}
+
+void group_progress_reset() {
+  g_group_progress.store(0, std::memory_order_relaxed);
+}
 
 void pack_rows(const int8_t* flat, const int32_t* lens, int64_t n,
                int64_t lmax, int8_t pad, int8_t* out) {
@@ -382,6 +403,7 @@ int64_t group_rows_pre(const int8_t* seqs, int64_t n, int64_t row_bytes,
         j = (j + 1) & mask;
       }
     }
+    progress_add(bn);
   }
 
   arena_release(arena);
@@ -493,6 +515,7 @@ int64_t group_pieces(const int8_t* seqs, int64_t n, int64_t row_bytes,
       j = (j + 1) & mask;
     }
     }
+    progress_add(bn);
   }
 
   arena_release(arena);

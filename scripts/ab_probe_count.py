@@ -36,6 +36,7 @@ max_tiles = int(os.environ.get("AB_TILES", 65_536))
 repeats = int(os.environ.get("AB_REPEATS", 3))
 
 d1 = bench.synth_arrays(n, n_reps=60, n_v=48, n_j=13, seed=21)
+bench._plant_near_dups(d1, d1, 0.01, seed=23)  # nonzero checksum
 tile = 512
 lmax = _round_up(int(d1.longest), 8)
 order, key, npad = pack_keys(d1, tile, True)

@@ -354,3 +354,30 @@ def test_parse_progress_counter(tmp_path):
     packed = data["residues"].reshape(n, lmax)
     ref = pack_rows_native(d2["residues"], d2["lengths"], lmax, 20)
     np.testing.assert_array_equal(packed, ref)
+
+
+def test_group_progress_ticks_interactively():
+    """The native grouping passes expose a row counter
+    (group_progress) polled during the GIL-released call — interactive
+    phases must redraw mid-phase instead of jumping 0->100%
+    (/root/reference/src/util.cc:28-37 grants ~200 redraws/phase)."""
+    import numpy as np
+
+    from compairr_tpu.io.native import group_rows_native, load_library
+
+    if load_library() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    n = 2_000_000
+    seqs = rng.integers(0, 20, size=(n, 12), dtype=np.int8)
+    meta = rng.integers(0, 4, size=(n, 2), dtype=np.int32)
+    ticks = []
+    out = group_rows_native(seqs, meta, progress=ticks.append)
+    assert out is not None
+    # a multi-hundred-ms grouping at 20 Hz must tick several times,
+    # values monotonically nondecreasing and bounded by n
+    assert len(ticks) >= 2
+    assert all(0 <= t <= n for t in ticks)
+    assert ticks == sorted(ticks)
