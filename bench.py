@@ -366,8 +366,9 @@ def main():
 
     result = {
         "metric": (
-            f"d=2 matrix end-to-end candidate-pairs/sec "
-            f"({n} self-compare, {backend})"
+            f"d=2 matrix in-memory candidate-pairs/sec "
+            f"({n} self-compare, {backend}; excludes parse — "
+            f"BASELINE.md carries the CLI wall incl. parse)"
         ),
         "value": rate,
         "unit": "pairs/s",
