@@ -1263,13 +1263,18 @@ def _sparse_inputs(db: SeqDB, tile: int, by_vjl: bool, lmax: int,
     if on_tpu:
         from .pallas_kernels import device_rows_raw
 
+        tm = _PhaseTimer()
+        tm.mark()
         order, key, npad = pack_keys(db, tile, by_vjl)
+        tm.lap("pack_keys")
         pa, pb = device_rows_raw(
             db, order, npad, lmax, indels, sort_key=key,
             pad_salt=pad_salt,
         )
+        tm.lap("rows_raw")
         orig = np.full(npad, -1, dtype=np.int64)
         orig[: db.n] = order
+        tm.report(f"_sparse_inputs n={db.n}")
         return None, pa, pb, orig, key, npad
     p = pack_set(db, lmax, tile, by_vjl, need_rseqs=indels)
     dev = jax.device_put
@@ -1602,6 +1607,7 @@ def find_pairs(
     tile, s_extract, lmax, by_vjl, use_indels = _pair_plan(
         db1, db2, spec, on_tpu
     )
+    tm.lap("pair_plan")
     delta = 1 if use_indels else 0
     a_args, pa_a, _pb_a, orig_a, key_a, npad_a = _sparse_inputs_cached(
         db1, tile, by_vjl, lmax, on_tpu, use_indels, 0

@@ -1756,6 +1756,10 @@ def device_rows_raw(db, order: np.ndarray, npad: int, lpad: int,
     if sort_key is not None and (
         n == 0 or int(sort_key[:n].max()) < _KEY_FUSE_MAX
     ):
+        from .engine import _PhaseTimer
+
+        tm = _PhaseTimer()
+        tm.mark()
         k32 = np.empty(npad, dtype=np.int32)
         k32[:n] = sort_key[:n]
         # band starts at MAX+2 so even a real key of exactly MAX-1 is
@@ -1764,14 +1768,20 @@ def device_rows_raw(db, order: np.ndarray, npad: int, lpad: int,
         k32[n:] = (_KEY_FUSE_MAX + 2 + pad_salt) + 4 * np.arange(
             npad - n, dtype=np.int32
         )
+        tm.lap("host_prep")
+        pu = _packed_upload(db, m, lpad, pad_val)
+        tm.lap("host_pack")
+        d_pu = dev(pu)
+        d_k32 = dev(k32.reshape(1, npad))
+        d_ord = dev(order_full)
+        tm.lap("puts")
         # key-fused derive: the key row carries the lengths, so the
         # lengths/v/j uploads are skipped (see _gather_sparse_key_fn)
         pa, pb = _gather_sparse_key_fn(pad_val, lpad, indels)(
-            dev(_packed_upload(db, m, lpad, pad_val)),
-            dev(k32.reshape(1, npad)),
-            jnp.int32(n),
-            dev(order_full),
+            d_pu, d_k32, jnp.int32(n), d_ord,
         )
+        tm.lap("derive_dispatch")
+        tm.report(f"device_rows_raw n={n}")
         return dict(pa), dict(pb)
     pa, pb = _gather_sparse_fn(pad_val, lpad, indels)(
         dev(_packed_upload(db, m, lpad, pad_val)),
