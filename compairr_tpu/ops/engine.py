@@ -69,7 +69,13 @@ def _note_route(name: str) -> None:
 class _PhaseTimer:
     """Opt-in coarse phase timing for find_pairs (COMPAIRR_TIMING=1):
     prints cumulative wall per labelled phase to stderr at the end of
-    the run. Zero overhead when disabled."""
+    the run. Zero overhead when disabled.
+
+    Device laps measure the async *enqueue* (dispatch), not kernel
+    completion — jax returns before the device finishes, so the
+    remaining device time surfaces in whichever later phase first
+    blocks on the result (label such laps `*_enqueue`). To time a
+    kernel itself, force a transfer (np.asarray), per CLAUDE.md."""
 
     def __init__(self) -> None:
         self.enabled = os.environ.get("COMPAIRR_TIMING") == "1"
@@ -1019,19 +1025,36 @@ def dense_matrix(
         from .pallas_kernels import dense_matrix_pallas, device_args_raw
 
         shared = db2 is db1 and tile_m == tile_n
-        oh_scale = 1.0 if shared else 0.5  # split the one-hot budget
         order_a, key_a, npad_a = pack_keys(db1, tile_m, by_vjl)
-        da = device_args_raw(
-            db1, order_a, npad_a, lmax, use_indels, sort_key=key_a,
-            oh_budget_scale=oh_scale,
-        )
         if shared:
-            order_b, key_b, npad_b, db_dev = order_a, key_a, npad_a, da
+            scale_a = scale_b = 1.0
+            order_b, key_b, npad_b = order_a, key_a, npad_a
         else:
             order_b, key_b, npad_b = pack_keys(db2, tile_n, by_vjl)
+            # two-file one-hot budget: both sides at half budget keeps
+            # the full-HBM v2 kernel; when that fails (Keck-scale
+            # two-file), stream only the a side's one-hots (v2c reads
+            # them per program while caching the b side's in VMEM
+            # scratch, rebuilt once per column run) instead of
+            # rejecting HBM one-hots outright
+            from .pallas_kernels import _oh_fits
+
+            if _oh_fits(npad_a, lmax, 0.5) and _oh_fits(
+                npad_b, lmax, 0.5
+            ):
+                scale_a = scale_b = 0.5
+            else:
+                scale_a, scale_b = 0.9, 0.0
+        da = device_args_raw(
+            db1, order_a, npad_a, lmax, use_indels, sort_key=key_a,
+            oh_budget_scale=scale_a,
+        )
+        if shared:
+            db_dev = da
+        else:
             db_dev = device_args_raw(
                 db2, order_b, npad_b, lmax, use_indels, sort_key=key_b,
-                oh_budget_scale=oh_scale,
+                oh_budget_scale=scale_b,
             )
         work = worklist_from_keys(
             key_a, db1.n, key_b, db2.n, delta, tile_m, tile_n
@@ -1285,6 +1308,18 @@ def _sparse_inputs(db: SeqDB, tile: int, by_vjl: bool, lmax: int,
 
 _RTT_TUNNEL = 0.030  # this dev machine's measured tunnel dispatch RTT
 
+# (value_s, source) of the last route_profile() resolution; source is
+# "auto" when measured on live hardware, else the pin that produced
+# it. Surfaced in the -l log (cli) and bench JSON so a production
+# mis-calibration of the RTT-derived routing is visible, not silent.
+ROUTE_PROFILE_INFO: Optional[tuple] = None
+
+
+def _note_profile(value: float, source: str) -> float:
+    global ROUTE_PROFILE_INFO
+    ROUTE_PROFILE_INFO = (value, source)
+    return value
+
 
 @lru_cache(maxsize=None)
 def route_profile() -> float:
@@ -1299,17 +1334,17 @@ def route_profile() -> float:
     so no compile cost). Measured once per process (lru_cache)."""
     env = os.environ.get("COMPAIRR_ROUTE_PROFILE", "auto").lower()
     if env == "tunnel":
-        return _RTT_TUNNEL
+        return _note_profile(_RTT_TUNNEL, "tunnel")
     if env == "local":
-        return 0.001
+        return _note_profile(0.001, "local")
     if env != "auto":
         try:
-            return max(float(env), 1e-5)
+            return _note_profile(max(float(env), 1e-5), "pinned")
         except ValueError:
-            return _RTT_TUNNEL
+            return _note_profile(_RTT_TUNNEL, "tunnel(bad-pin)")
     try:
         if jax.default_backend() == "cpu":
-            return 0.001
+            return _note_profile(0.001, "cpu")
         import time as _time
 
         x = np.zeros(128, dtype=np.float32)
@@ -1319,9 +1354,10 @@ def route_profile() -> float:
             t0 = _time.perf_counter()
             np.asarray(jax.device_put(x))
             best = min(best, _time.perf_counter() - t0)
-        return max(best / 2.0, 1e-5)  # H2D + D2H ~ 2 dispatches
+        # H2D + D2H ~ 2 dispatches
+        return _note_profile(max(best / 2.0, 1e-5), "auto")
     except Exception:
-        return _RTT_TUNNEL
+        return _note_profile(_RTT_TUNNEL, "tunnel(measure-failed)")
 
 
 def _tiles_per_device_min() -> int:

@@ -241,6 +241,7 @@ def _cached_key_match(
     indels: bool,
     lpad: int,
     indel_only: bool,
+    a_oh_ref=None,
 ):
     """Key-fused match mask with the b-side one-hots cached in VMEM
     scratch across grid programs — the sparse kernels' analogue of the
@@ -255,7 +256,11 @@ def _cached_key_match(
       bh_i8  [TN, lanes] int8      Hamming operand  (skip if indel_only)
       bw_f   [nbands, TN, lanes] bf16  weighted fwd (indels only)
       bw_r   [nbands, TN, lanes] bf16  weighted rev (indels only)
-    """
+
+    a_oh_ref: optional HBM-streamed a-side one-hot block (the dense
+    v2c kernel passes it when only one set fits the HBM one-hot
+    budget); when given, the per-program a-side build is skipped
+    (non-indel configs only)."""
     prev = cols_ref[jnp.maximum(i - 1, 0)]
     rebuild = jnp.logical_or(i == 0, cols_ref[i] != prev)
 
@@ -277,7 +282,10 @@ def _cached_key_match(
     if indel_only:
         match = jnp.zeros((a_seq.shape[0], b_seq.shape[0]), jnp.bool_)
     else:
-        oh_a = _onehot(a_seq[:], NCLASS)
+        oh_a = (
+            a_oh_ref[:] if a_oh_ref is not None
+            else _onehot(a_seq[:], NCLASS)
+        )
         matches = lax.dot_general(
             oh_a,
             scratch["bh_i8"][:],
@@ -582,20 +590,45 @@ def _dense_pallas_fn(
     return jax.jit(fn)
 
 
+# min/max score decomposition cap: min(ca,cb) = sum over thresholds t
+# of 1[ca>=t]*1[cb>=t] needs cmax chains, each with its own [r1p, TN]
+# Q scratch — cap the count (VERDICT r4 item 6; the VMEM gate in
+# _v2_scratch_ok bounds the actual bytes per shape).
+_V2_GE_CMAX = int(__import__("os").environ.get("COMPAIRR_V2_GE_CMAX", "64"))
+
+
 def _v2_chains(score_int: int, ignore_counts: bool, cmax: float):
     """The v2 kernel's score reduction as a static list of bilinear
     chains (a_weight, b_weight, scale): matrix[r1,r2] accumulates
     scale * (oh1 spec a_weight)^T M (oh2 spec b_weight) per chain.
-    a_weight in {"one", "lo", "hi"} (count low/high byte; both bf16
-    -exact since bytes <= 255), b_weight in {"one", "cnt"}. Returns
-    None for score modes with no exact bilinear decomposition (min,
-    max, ratio) — those keep the v1 kernel.
+    a_weight in {"one", "lo", "hi", "ge<t>"} ("lo"/"hi" = count
+    low/high byte, bf16-exact since bytes <= 255; "ge<t>" = the 0/1
+    threshold indicator 1[count >= t]), b_weight in {"one", "cnt",
+    "ge<t>"}. Returns None for score modes with no exact bilinear
+    decomposition at this cmax (ratio always; min/max/Jaccard when
+    cmax > _V2_GE_CMAX or non-integer) — those keep the v1 kernel.
+
+    min/max (and Jaccard, which accumulates min — compute_score,
+    /root/reference/src/overlap.cc:144-166) decompose by threshold:
+      min(ca,cb) = sum_{t=1..cmax} 1[ca>=t] * 1[cb>=t]
+      max(ca,cb) = ca + cb - min(ca,cb)
+    one bilinear chain per threshold, exact for the parser-validated
+    integer duplicate counts. Every chain term is bounded by the
+    engine guard's min/max tile bound S_a*M_b + S_b*M_a
+    (_plan_exact_chunks), so chunked accumulation stays f32-exact.
 
     The high-byte chain only exists when some count >= 256: synthetic
     and most real AIRR duplicate counts are small, and dropping the
     dead all-zero stage removes a whole [r1p, TM] x [TM, TN] matmul
     per program."""
-    from ..constants import SCORE_MEAN, SCORE_MH, SCORE_PRODUCT
+    from ..constants import (
+        SCORE_JACCARD,
+        SCORE_MAX,
+        SCORE_MEAN,
+        SCORE_MH,
+        SCORE_MIN,
+        SCORE_PRODUCT,
+    )
 
     if ignore_counts:
         return (("one", "one", 1.0),)
@@ -614,6 +647,20 @@ def _v2_chains(score_int: int, ignore_counts: bool, cmax: float):
         if hi:
             ch.append(("hi", "one", 128.0))
         return tuple(ch)
+    if score_int in (SCORE_JACCARD, SCORE_MIN, SCORE_MAX):
+        tmax = int(cmax)
+        if cmax != tmax or tmax > _V2_GE_CMAX:
+            return None
+        ge = [
+            (f"ge{t}", f"ge{t}", 1.0) for t in range(1, max(tmax, 1) + 1)
+        ]
+        if score_int == SCORE_MAX:
+            return (
+                ("lo", "one", 1.0),
+                ("one", "cnt", 1.0),
+                *((a, b, -1.0) for a, b, _ in ge),
+            )
+        return tuple(ge)
     return None
 
 
@@ -625,6 +672,116 @@ def _v2_run_cap(tile_m: int, wmax: int = 255) -> int:
     accumulates in i32, but its flush converts Q to f32 for the
     stage-2 matmul, so the same bound applies)."""
     return max(1, ((1 << 24) - 1) // (tile_m * max(wmax, 1)))
+
+
+def _chain_aweights(a_rep, a_cnt, *, chains: tuple, tile_m: int,
+                    r1p: int):
+    """Per-program a-side stage-1 weight matrices, one per distinct
+    chain a-kind (see _v2_chains)."""
+    a_kinds = {c[0] for c in chains}
+    oh1 = (
+        a_rep[:].T == lax.broadcasted_iota(jnp.int32, (tile_m, r1p), 1)
+    ).astype(jnp.float32)
+    aw = {"one": oh1}
+    if not a_kinds <= {"one"}:
+        ca = a_cnt[:].T  # [TM, 1] f32
+        if "lo" in a_kinds or "hi" in a_kinds:
+            h = jnp.floor(ca * (1.0 / 256.0))
+            aw["lo"] = oh1 * (ca - 256.0 * h)
+            aw["hi"] = oh1 * h
+        for k in a_kinds:
+            if k.startswith("ge"):
+                aw[k] = oh1 * (ca >= float(k[2:]))
+    return aw
+
+
+def _chain_stage1(qs, m_s, aw, *, chains: tuple, int8_stage1: bool):
+    """Q_c += A_c^T M for every chain (stage 1; exact integer sums —
+    see _v2_run_cap)."""
+    s1_dtype = jnp.int8 if int8_stage1 else jnp.bfloat16
+    q_dtype = jnp.int32 if int8_stage1 else jnp.float32
+    for q, (ak, _bk, _s) in zip(qs, chains):
+        q[:] += lax.dot_general(
+            aw[ak].astype(s1_dtype),
+            m_s,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=q_dtype,
+        )  # [r1p, TN]
+
+
+def _chain_flush(i, flush_ref, b_rep, b_cnt, out_ref, qs, *,
+                 chains: tuple, tile_n: int, r2p: int):
+    """out += scale_c Q_c B_c on flush programs (stage 2); Q cleared
+    after. Runs at Precision.HIGHEST — the flush results carry exact
+    integer sums (see _make_dense_v2_kernel)."""
+    b_kinds = sorted({c[1] for c in chains})
+
+    @pl.when(flush_ref[i] != 0)
+    def _():
+        b_oh2 = (
+            b_rep[:]
+            == lax.broadcasted_iota(jnp.int32, (r2p, tile_n), 0)
+        ).astype(jnp.float32)
+        bm = {}
+        for bk in b_kinds:
+            if bk == "cnt":
+                bm[bk] = b_oh2 * b_cnt[:]
+            elif bk.startswith("ge"):
+                bm[bk] = b_oh2 * (b_cnt[:] >= float(bk[2:]))
+            else:
+                bm[bk] = b_oh2
+        acc = None
+        for q, (_ak, bk, scale) in zip(qs, chains):
+            t = lax.dot_general(
+                q[:].astype(jnp.float32),
+                bm[bk],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )  # [r1p, r2p]
+            if scale != 1.0:
+                t = t * scale
+            acc = t if acc is None else acc + t
+            q[:] = jnp.zeros_like(q)
+        out_ref[:] += acc
+
+
+def _chain_reduce(
+    i,
+    flush_ref,
+    match,
+    a_rep,
+    a_cnt,
+    b_rep,
+    b_cnt,
+    out_ref,
+    qs,
+    *,
+    chains: tuple,
+    tile_m: int,
+    tile_n: int,
+    r1p: int,
+    r2p: int,
+    int8_stage1: bool,
+):
+    """Shared v2-family score reduction (in-kernel): per chain
+      Q_c += A_c^T M          every program (stage 1)
+      out += scale_c Q_c B_c  on flush programs (stage 2)
+    See _make_dense_v2_kernel's docstring for the full exactness
+    argument; "ge<t>" kinds are the 0/1 threshold indicators of the
+    min/max decomposition (_v2_chains)."""
+    s1_dtype = jnp.int8 if int8_stage1 else jnp.bfloat16
+    aw = _chain_aweights(
+        a_rep, a_cnt, chains=chains, tile_m=tile_m, r1p=r1p
+    )
+    _chain_stage1(
+        qs, match.astype(s1_dtype), aw, chains=chains,
+        int8_stage1=int8_stage1,
+    )
+    _chain_flush(
+        i, flush_ref, b_rep, b_cnt, out_ref, qs, chains=chains,
+        tile_n=tile_n, r2p=r2p,
+    )
 
 
 def _make_dense_v2_kernel(
@@ -660,11 +817,6 @@ def _make_dense_v2_kernel(
     rate; Q accumulates in i32 (exact) and converts to f32 at flush
     (exact under the same _v2_run_cap bound)."""
 
-    b_kinds = sorted({c[1] for c in chains})
-    a_kinds = {c[0] for c in chains}
-    s1_dtype = jnp.int8 if int8_stage1 else jnp.bfloat16
-    q_dtype = jnp.int32 if int8_stage1 else jnp.float32
-
     def kernel(
         rows_ref,
         cols_ref,
@@ -699,50 +851,23 @@ def _make_dense_v2_kernel(
         # compare instead of four. Pad rows carry key -1: pad-pad
         # "matches" are harmless because a pad row's repertoire one-hot
         # row is all zero in both reduction operands.
+        #
+        # (Two measured dead ends, r5 same-window A/Bs: a per-tile
+        # "uniform key" branch skipping this compare was 17% SLOWER —
+        # pl.when on a traced scalar predicates rather than branches
+        # on Mosaic, so both stage-1 variants executed every program —
+        # and deleting keq outright measured 15.10 vs 15.12 ms: the
+        # VPU compare is fully hidden behind the MXU/DMA pipeline.
+        # The real per-program cost is fixed overhead (~2 us/program
+        # from the 512/768/1024 tile scaling fit), i.e. the small
+        # per-program block DMAs, not this arithmetic.)
         keq = a_key[:].T == b_key[:]
         match = keq & (matches >= lpad - differences)
-        m_s = match.astype(s1_dtype)
-
-        oh1 = (
-            a_rep[:].T == lax.broadcasted_iota(jnp.int32, (tile_m, r1p), 1)
-        ).astype(jnp.float32)
-        aw = {"one": oh1}
-        if "lo" in a_kinds or "hi" in a_kinds:
-            ca = a_cnt[:].T  # [TM, 1] f32
-            h = jnp.floor(ca * (1.0 / 256.0))
-            aw["lo"] = oh1 * (ca - 256.0 * h)
-            aw["hi"] = oh1 * h
-        for q, (ak, _bk, _s) in zip(qs, chains):
-            q[:] += lax.dot_general(
-                aw[ak].astype(s1_dtype),
-                m_s,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=q_dtype,
-            )  # [r1p, TN], exact integer sums (see _v2_run_cap)
-
-        @pl.when(flush_ref[i] != 0)
-        def _():
-            b_oh2 = (
-                b_rep[:]
-                == lax.broadcasted_iota(jnp.int32, (r2p, tile_n), 0)
-            ).astype(jnp.float32)
-            bm = {}
-            for bk in b_kinds:
-                bm[bk] = b_oh2 * b_cnt[:] if bk == "cnt" else b_oh2
-            acc = None
-            for q, (_ak, bk, scale) in zip(qs, chains):
-                t = lax.dot_general(
-                    q[:].astype(jnp.float32),
-                    bm[bk],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=lax.Precision.HIGHEST,
-                )  # [r1p, r2p]
-                if scale != 1.0:
-                    t = t * scale
-                acc = t if acc is None else acc + t
-                q[:] = jnp.zeros_like(q)
-            out_ref[:] += acc
+        _chain_reduce(
+            i, flush_ref, match, a_rep, a_cnt, b_rep, b_cnt, out_ref,
+            qs, chains=chains, tile_m=tile_m, tile_n=tile_n, r1p=r1p,
+            r2p=r2p, int8_stage1=int8_stage1,
+        )
 
     return kernel
 
@@ -836,28 +961,313 @@ def _dense_v2_fn(
     return jax.jit(fn)
 
 
-def _dense_v2_eligible(a_dev, b_dev, *, indels, score_int, ignore_counts):
+def _make_dense_v2c_kernel(
+    *,
+    differences: int,
+    indels: bool,
+    chains: tuple,
+    lpad: int,
+    tile_m: int,
+    tile_n: int,
+    r1p: int,
+    r2p: int,
+    a_hbm: bool,
+    int8_stage1: bool,
+):
+    """Cached-operand dense kernel — the v2 architecture (Q-chain
+    accumulation + flush amortisation, _chain_reduce) for runs the
+    HBM-one-hot v2 kernel cannot serve: indel runs (forward+reversed
+    HBM one-hots would be 2x ~12 GiB at Keck scale) and runs whose
+    one-hot rows miss the HBM budget (two-file Keck shapes). The
+    b-side one-hots live in VMEM scratch rebuilt once per column run
+    (_cached_key_match — the sparse kernels' treatment, VERDICT r4
+    item 2); the a side streams HBM one-hot rows when they fit
+    (a_hbm) and otherwise builds per program. Replaces the v1
+    per-tile-rebuild kernel for every key32-carrying dense run."""
+    assert not (a_hbm and indels), "HBM a-side one-hots are fwd-only"
+
+    def kernel(
+        rows_ref,
+        cols_ref,
+        flush_ref,
+        a1,
+        a_rseq,
+        a_key,
+        a_rep,
+        a_cnt,
+        b_seq,
+        b_rseq,
+        b_key,
+        b_rep,
+        b_cnt,
+        out_ref,
+        *scr,
+    ):
+        scratch = {"bh_i8": scr[0]}
+        k = 1
+        if indels:
+            scratch["bw_f"], scratch["bw_r"] = scr[1], scr[2]
+            k = 3
+        qs = scr[k:]
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+            for q in qs:
+                q[:] = jnp.zeros_like(q)
+
+        match = _cached_key_match(
+            i,
+            cols_ref,
+            None if a_hbm else a1,
+            a_rseq,
+            a_key,
+            b_seq,
+            b_rseq,
+            b_key,
+            scratch,
+            differences=differences,
+            indels=indels,
+            lpad=lpad,
+            indel_only=False,
+            a_oh_ref=a1 if a_hbm else None,
+        )
+        _chain_reduce(
+            i, flush_ref, match, a_rep, a_cnt, b_rep, b_cnt, out_ref,
+            qs, chains=chains, tile_m=tile_m, tile_n=tile_n, r1p=r1p,
+            r2p=r2p, int8_stage1=int8_stage1,
+        )
+
+    return kernel
+
+
+@lru_cache(maxsize=None)
+def _dense_v2c_fn(
+    differences: int,
+    indels: bool,
+    chains: tuple,
+    lpad: int,
+    tile_m: int,
+    tile_n: int,
+    r1p: int,
+    r2p: int,
+    n_tiles: int,
+    interpret: bool = False,
+    int8_stage1: bool = False,
+    a_hbm: bool = False,
+):
+    kernel = _make_dense_v2c_kernel(
+        differences=differences,
+        indels=indels,
+        chains=chains,
+        lpad=lpad,
+        tile_m=tile_m,
+        tile_n=tile_n,
+        r1p=r1p,
+        r2p=r2p,
+        a_hbm=a_hbm,
+        int8_stage1=int8_stage1,
+    )
+    ohw = NCLASS * lpad
+
+    def a_spec(width):
+        return pl.BlockSpec(
+            (tile_m, width),
+            index_map=lambda i, rows, cols, flush: (rows[i], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def a_dummy(width):
+        return pl.BlockSpec(
+            (tile_m, width),
+            index_map=lambda i, rows, cols, flush: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def b_spec(width):
+        return pl.BlockSpec(
+            (tile_n, width),
+            index_map=lambda i, rows, cols, flush: (cols[i], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def b_dummy(width):
+        return pl.BlockSpec(
+            (tile_n, width),
+            index_map=lambda i, rows, cols, flush: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def aT_spec(height):
+        return pl.BlockSpec(
+            (height, tile_m),
+            index_map=lambda i, rows, cols, flush: (0, rows[i]),
+            memory_space=pltpu.VMEM,
+        )
+
+    def bT_spec(height):
+        return pl.BlockSpec(
+            (height, tile_n),
+            index_map=lambda i, rows, cols, flush: (0, cols[i]),
+            memory_space=pltpu.VMEM,
+        )
+
+    scratch = [pltpu.VMEM((tile_n, ohw), jnp.int8)]
+    if indels:
+        nb = _nbands(lpad)
+        scratch += [
+            pltpu.VMEM((nb, tile_n, ohw), jnp.bfloat16),
+            pltpu.VMEM((nb, tile_n, ohw), jnp.bfloat16),
+        ]
+    scratch += [
+        pltpu.VMEM(
+            (r1p, tile_n), jnp.int32 if int8_stage1 else jnp.float32
+        )
+        for _ in chains
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            a_spec(ohw if a_hbm else lpad),  # a_oh / a_seq
+            a_spec(lpad) if indels else a_dummy(lpad),  # a_rseq
+            aT_spec(1),  # a_key
+            aT_spec(1),  # a_rep
+            aT_spec(1),  # a_cnt
+            b_spec(lpad),  # b_seq
+            b_spec(lpad) if indels else b_dummy(lpad),  # b_rseq
+            bT_spec(1),  # b_key
+            bT_spec(1),  # b_rep
+            bT_spec(1),  # b_cnt
+        ],
+        out_specs=pl.BlockSpec(
+            (r1p, r2p),
+            index_map=lambda i, rows, cols, flush: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=scratch,
+    )
+
+    fn = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r1p, r2p), jnp.float32),
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+# VMEM scratch ceiling for the v2-family kernels (the chip has ~16 MiB
+# of VMEM/core shared with the operand blocks and double buffering):
+# chain Q accumulators plus the v2c b-side caches must fit under it or
+# the run keeps the v1 kernel.
+_V2_SCRATCH_BYTES_MAX = int(
+    __import__("os").environ.get("COMPAIRR_V2_SCRATCH_MAX", str(6 << 20))
+)
+
+
+def _v2_scratch_ok(
+    chains: tuple,
+    r1p: int,
+    tile_n: int,
+    *,
+    lpad: int = 0,
+    indels: bool = False,
+    cached_b: bool = False,
+) -> bool:
+    total = len(chains) * r1p * tile_n * 4  # Q accumulators
+    if cached_b:
+        ohw = NCLASS * lpad
+        total += tile_n * ohw  # bh_i8
+        if indels:
+            total += 2 * _nbands(lpad) * tile_n * ohw * 2  # bf16 fwd+rev
+    return total <= _V2_SCRATCH_BYTES_MAX
+
+
+def _dense_v2_eligible(
+    a_dev, b_dev, *, indels, score_int, ignore_counts, r1p, tile_n
+):
     """The v2 kernel serves substitution-only runs whose score has an
     exact bilinear decomposition (product/MH/mean — the byte split
-    needs counts < 2^16 — or -f), when both sides carry HBM one-hots
-    and an int32 fused bucket key."""
+    needs counts < 2^16 — min/max/Jaccard at small integer cmax, or
+    -f), when both sides carry HBM one-hots and an int32 fused bucket
+    key, and the chain scratch fits VMEM."""
     if indels or a_dev.get("oh") is None or b_dev.get("oh") is None:
         return False
     if a_dev.get("key32") is None or b_dev.get("key32") is None:
         return False
     cmax = max(a_dev.get("cmax", 1 << 30), b_dev.get("cmax", 1 << 30))
-    if _v2_chains(score_int, ignore_counts, cmax) is None:
+    chains = _v2_chains(score_int, ignore_counts, cmax)
+    if chains is None or not _v2_scratch_ok(chains, r1p, tile_n):
         return False
     return ignore_counts or cmax < (1 << 16)
 
 
+def _dense_v2c_eligible(
+    a_dev, b_dev, *, indels, score_int, ignore_counts, r1p, tile_n
+):
+    """The cached-operand v2c kernel serves every chain-decomposable
+    dense run that carries fused keys but misses v2's HBM one-hot
+    requirement: indel runs and one-hot-budget overflows."""
+    if a_dev.get("key32") is None or b_dev.get("key32") is None:
+        return False
+    if indels and (
+        a_dev.get("rseqs") is None or b_dev.get("rseqs") is None
+    ):
+        return False
+    cmax = max(a_dev.get("cmax", 1 << 30), b_dev.get("cmax", 1 << 30))
+    chains = _v2_chains(score_int, ignore_counts, cmax)
+    if chains is None:
+        return False
+    lpad = a_dev["seqs"].shape[1]
+    if not _v2_scratch_ok(
+        chains, r1p, tile_n, lpad=lpad, indels=indels, cached_b=True
+    ):
+        return False
+    return ignore_counts or cmax < (1 << 16)
+
+
+# the kernel class chosen by the latest dense dispatch ("v2", "v2c",
+# "v1") — a test/diagnostics probe, not a control knob
+LAST_DENSE_KERNEL: Optional[str] = None
+
+
+def _dense_kernel_kind(
+    a_dev, b_dev, *, indels, score_int, ignore_counts, r1p, tile_n
+) -> str:
+    global LAST_DENSE_KERNEL
+    if _dense_v2_eligible(
+        a_dev, b_dev, indels=indels, score_int=score_int,
+        ignore_counts=ignore_counts, r1p=r1p, tile_n=tile_n,
+    ):
+        kind = "v2"
+    elif _dense_v2c_eligible(
+        a_dev, b_dev, indels=indels, score_int=score_int,
+        ignore_counts=ignore_counts, r1p=r1p, tile_n=tile_n,
+    ):
+        kind = "v2c"
+    else:
+        kind = "v1"
+    LAST_DENSE_KERNEL = kind
+    return kind
+
+
 def _v2_weight_max(chains: tuple, cmax: float) -> int:
-    """Largest a-side stage-1 weight for the chain set: 1 for pure
-    "one" chains (-f), the full count when no high byte exists, else
-    255 (byte-split weights)."""
-    if all(c[0] == "one" for c in chains):
-        return 1
-    return int(cmax) if cmax < 256 else 255
+    """Largest a-side stage-1 weight across the chain set: 1 for
+    "one"/"ge<t>" indicator chains, the full count for a low byte
+    below 256, else 255 (byte-split weights; the high byte is
+    cmax >> 8 <= 255 too)."""
+
+    def kind_max(kind: str) -> int:
+        if kind == "one" or kind.startswith("ge"):
+            return 1
+        if kind == "lo":
+            return int(min(cmax, 255.0))
+        return int(cmax) >> 8  # "hi"
+
+    return max(1, *(kind_max(c[0]) for c in chains))
 
 
 
@@ -1780,7 +2190,7 @@ def device_rows_raw(db, order: np.ndarray, npad: int, lpad: int,
         pa, pb = _gather_sparse_key_fn(pad_val, lpad, indels)(
             d_pu, d_k32, jnp.int32(n), d_ord,
         )
-        tm.lap("derive_dispatch")
+        tm.lap("derive_enqueue")
         tm.report(f"device_rows_raw n={n}")
         return dict(pa), dict(pb)
     pa, pb = _gather_sparse_fn(pad_val, lpad, indels)(
@@ -1840,10 +2250,13 @@ def device_args_raw(db, order: np.ndarray, npad: int, lpad: int,
     )
     a, b = dict(a), dict(b)
     a["cmax"] = b["cmax"] = float(db.counts.max()) if n else 0.0
-    if (
-        with_oh
-        and sort_key is not None
-        and (n == 0 or int(sort_key[:n].max()) < (1 << 31))
+    # key32 is independent of the one-hot budget: the cached-operand
+    # v2c kernel consumes it on runs whose one-hots do NOT fit HBM
+    # (and on indel runs, where pad keys are plain -1 — the dense
+    # kernels zero pad contributions via the all-zero repertoire
+    # one-hot rows, so no salted pad band is needed)
+    if sort_key is not None and (
+        n == 0 or int(sort_key[:n].max()) < (1 << 31)
     ):
         k32 = np.full(npad, -1, dtype=np.int32)
         k32[:n] = sort_key[:n]
@@ -1914,16 +2327,18 @@ def dense_matrix_pallas_prepared(
     npad_a = a_dev["seqs"].shape[0]
     npad_b = b_dev["seqs"].shape[0]
     dev = _device_of(a_dev["seqs"])
-    use_v2 = _dense_v2_eligible(
+    kind = _dense_kernel_kind(
         a_dev, b_dev,
         indels=indels, score_int=score_int, ignore_counts=ignore_counts,
+        r1p=r1p, tile_n=tile_n,
     )
-    if use_v2:
+    if kind != "v1":
         cmax = max(a_dev.get("cmax", 0.0), b_dev.get("cmax", 0.0))
         chains = _v2_chains(score_int, ignore_counts, cmax)
         wmax = _v2_weight_max(chains, cmax)
         int8_s1 = wmax <= 127
         run_cap = _v2_run_cap(tile_m, wmax)
+        a_hbm = (not indels) and a_dev.get("oh") is not None
     prepared = []
     for chunk, _c in _chunk_worklist(
         _order_colmajor(work), tile_m, tile_n, npad_a, npad_b, 64
@@ -1934,7 +2349,7 @@ def dense_matrix_pallas_prepared(
         cols = jax.device_put(
             (chunk[:, 1] // tile_n).astype(np.int32), dev
         )
-        if use_v2:
+        if kind == "v2":
             fn0 = _dense_v2_fn(
                 differences, chains,
                 lpad, tile_m, tile_n, r1p, r2p, int(len(chunk)),
@@ -1948,6 +2363,27 @@ def dense_matrix_pallas_prepared(
             args = (
                 a_dev["oh"], a_dev["key32"], a_dev["rep"], a_dev["cnt"],
                 b_dev["oh"], b_dev["key32"], b_dev["rep"], b_dev["cnt"],
+            )
+        elif kind == "v2c":
+            fn0 = _dense_v2c_fn(
+                differences, indels, chains,
+                lpad, tile_m, tile_n, r1p, r2p, int(len(chunk)),
+                interpret, int8_s1, a_hbm,
+            )
+            flush = jax.device_put(_flush_flags(chunk, run_cap), dev)
+
+            def fn(r, c, *a, _f=fn0, _fl=flush):
+                return _f(r, c, _fl, *a)
+
+            args = (
+                a_dev["oh"] if a_hbm else a_dev["seqs"],
+                a_dev["rseqs"] if indels
+                else _dummy_i8((tile_m, lpad), dev),
+                a_dev["key32"], a_dev["rep"], a_dev["cnt"],
+                b_dev["seqs"],
+                b_dev["rseqs"] if indels
+                else _dummy_i8((tile_n, lpad), dev),
+                b_dev["key32"], b_dev["rep"], b_dev["cnt"],
             )
         else:
             fn = _dense_pallas_fn(
@@ -1997,29 +2433,57 @@ def _dense_pallas_chunk(
     rows = (work[:, 0] // tile_m).astype(np.int32)
     cols = (work[:, 1] // tile_n).astype(np.int32)
     dev = _device_of(a_dev["seqs"])
-    if _dense_v2_eligible(
+    kind = _dense_kernel_kind(
         a_dev, b_dev,
         indels=indels, score_int=score_int, ignore_counts=ignore_counts,
-    ):
+        r1p=r1p, tile_n=tile_n,
+    )
+    if kind != "v1":
         cmax = max(a_dev.get("cmax", 0.0), b_dev.get("cmax", 0.0))
         chains = _v2_chains(score_int, ignore_counts, cmax)
         wmax = _v2_weight_max(chains, cmax)
-        fn = _dense_v2_fn(
-            differences, chains,
-            lpad, tile_m, tile_n, r1p, r2p, int(len(rows)), interpret,
-            wmax <= 127,
+        int8_s1 = wmax <= 127
+        flush = jax.device_put(
+            _flush_flags(work, _v2_run_cap(tile_m, wmax)), dev
+        )
+        if kind == "v2":
+            fn = _dense_v2_fn(
+                differences, chains,
+                lpad, tile_m, tile_n, r1p, r2p, int(len(rows)),
+                interpret, int8_s1,
+            )
+            return fn(
+                jax.device_put(rows, dev),
+                jax.device_put(cols, dev),
+                flush,
+                a_dev["oh"],
+                a_dev["key32"],
+                a_dev["rep"],
+                a_dev["cnt"],
+                b_dev["oh"],
+                b_dev["key32"],
+                b_dev["rep"],
+                b_dev["cnt"],
+            )
+        a_hbm = (not indels) and a_dev.get("oh") is not None
+        fn = _dense_v2c_fn(
+            differences, indels, chains,
+            lpad, tile_m, tile_n, r1p, r2p, int(len(rows)),
+            interpret, int8_s1, a_hbm,
         )
         return fn(
             jax.device_put(rows, dev),
             jax.device_put(cols, dev),
-            jax.device_put(
-                _flush_flags(work, _v2_run_cap(tile_m, wmax)), dev
-            ),
-            a_dev["oh"],
+            flush,
+            a_dev["oh"] if a_hbm else a_dev["seqs"],
+            a_dev["rseqs"] if indels
+            else _dummy_i8((tile_m, lpad), dev),
             a_dev["key32"],
             a_dev["rep"],
             a_dev["cnt"],
-            b_dev["oh"],
+            b_dev["seqs"],
+            b_dev["rseqs"] if indels
+            else _dummy_i8((tile_n, lpad), dev),
             b_dev["key32"],
             b_dev["rep"],
             b_dev["cnt"],

@@ -49,6 +49,13 @@ from ..ops.engine import (
 # engine's device entry points were never hit in this process
 _enable_compilation_cache()
 
+# Phase/tile statistics of the last dense_matrix_sharded call, for
+# overhead attribution (scripts/weak_scaling.py): prep phases are
+# host-serial in this single-process harness but per-host-parallel in
+# a real multi-host run (COMPAIRR_INPUT_SHARD), so the compute phase
+# is the number weak-scaling efficiency should be judged on.
+LAST_STATS: dict = {}
+
 
 def initialize_distributed(
     coordinator_address: Optional[str] = None,
@@ -184,10 +191,13 @@ def dense_matrix_sharded(
             "dense paths do not support exclude_self specs; use "
             "find_pairs (the sparse engine) for cluster-style matching"
         )
+    import time as _time
+
     devices = list(devices if devices is not None else jax.devices())
     n_shards = len(devices)
     mesh = Mesh(np.asarray(devices), ("shard",))
 
+    t0 = _time.perf_counter()
     lmax = int(max(db1.longest, db2.longest, 1))
     by_vjl = not spec.ignore_genes
     use_indels = spec.indels and spec.differences == 1
@@ -197,10 +207,24 @@ def dense_matrix_sharded(
         if db2 is db1 and tile_m == tile_n
         else pack_set(db2, lmax, tile_n, by_vjl, need_rseqs=use_indels)
     )
+    t_pack = _time.perf_counter() - t0
 
+    t0 = _time.perf_counter()
     stacked, chunk, bounds = _shard_packed(a, n_shards, tile_m)
     work, lists = _shard_worklists(
         stacked["key"], bounds, b, spec, tile_m, tile_n, chunk
+    )
+    t_shard = _time.perf_counter() - t0
+    real_tiles = [int(len(t)) for t in lists]
+    LAST_STATS.clear()
+    LAST_STATS.update(
+        devices=n_shards,
+        pack_s=t_pack,
+        shard_s=t_shard,
+        real_tiles=real_tiles,
+        padded_tiles_per_shard=int(work.shape[1]),
+        pad_fraction=1.0
+        - (sum(real_tiles) / max(n_shards * work.shape[1], 1)),
     )
 
     r1p = _round_up(max(db1.repertoire_count, 1), 8)
@@ -236,6 +260,7 @@ def dense_matrix_sharded(
         acc, _ = lax.scan(step, acc0, (starts[:, 0], starts[:, 1]))
         return lax.psum(acc, "shard")
 
+    t0 = _time.perf_counter()
     a_stack = tuple(
         _global_put(mesh, P("shard"), stacked[k])
         for k in ("seqs", "rseqs", "lengths", "v", "j", "rep", "counts")
@@ -244,6 +269,8 @@ def dense_matrix_sharded(
         _global_put(mesh, P(), x)
         for x in (b.seqs, b.rseqs, b.lengths, b.v, b.j, b.rep, b.counts)
     )
+    jax.block_until_ready((a_stack, b_args))
+    LAST_STATS["put_s"] = _time.perf_counter() - t0
 
     shard_spec = tuple(P("shard") for _ in a_stack)
     rep_spec = tuple(P() for _ in b_args)
@@ -298,9 +325,11 @@ def dense_matrix_sharded(
             )
 
     if plan is None:
-        acc = np.asarray(
-            fn(a_stack, b_args, _global_put(mesh, P("shard"), work))
-        ).astype(np.float64)
+        d_work = _global_put(mesh, P("shard"), work)
+        jax.block_until_ready(d_work)
+        t0 = _time.perf_counter()
+        acc = np.asarray(fn(a_stack, b_args, d_work)).astype(np.float64)
+        LAST_STATS["compute_s"] = _time.perf_counter() - t0
     else:
         chunks, host_tiles = plan
         wc_max = max(
@@ -308,6 +337,7 @@ def dense_matrix_sharded(
         )
         wc_max = max(wc_max, 1)
         acc = np.zeros((r1p, r2p), dtype=np.float64)
+        t0 = _time.perf_counter()
         for cur in chunks:
             cw = np.zeros((n_shards, wc_max, 2), dtype=np.int32)
             cw[:, :, 0] = chunk - tile_m
@@ -318,6 +348,7 @@ def dense_matrix_sharded(
             acc += np.asarray(
                 fn(a_stack, b_args, _global_put(mesh, P("shard"), cw))
             ).astype(np.float64)
+        LAST_STATS["compute_s"] = _time.perf_counter() - t0
         for k, tiles in enumerate(host_tiles):
             if len(tiles) == 0:
                 continue

@@ -46,6 +46,11 @@ def tile_db(base, k: int):
     """k stacked copies of a SeqDB (weak-scaling workload builder)."""
     if k == 1:
         return base
+    # array fields below are the complete per-row set for this
+    # harness; a native-parsed db would also carry row_hash, which
+    # this builder does not tile — reject it rather than return a
+    # stale N-length hash array on a k*N-row db
+    assert base.row_hash is None, "tile_db does not tile row_hash"
     return dataclasses.replace(
         base,
         seqs=np.tile(base.seqs, (k, 1)),
@@ -91,31 +96,71 @@ def main():
     while k <= nmax:
         counts.append(k)
         k *= 2
+    from compairr_tpu.parallel import mesh as mesh_mod
+
+    c1 = None
     for ndev in counts:
         d1 = tile_db(base, ndev)
         devs = devices[:ndev]
         # warm (compile) then measure
         run(d1, base, spec, SCORE_PRODUCT, False, devices=devs)
         best = float("inf")
+        best_stats = {}
         for _ in range(3):
             t0 = time.perf_counter()
             m = run(d1, base, spec, SCORE_PRODUCT, False, devices=devs)
-            best = min(best, time.perf_counter() - t0)
+            w = time.perf_counter() - t0
+            if w < best:
+                best, best_stats = w, dict(mesh_mod.LAST_STATS)
         if t1 is None:
             t1 = best
-        results.append(
-            dict(devices=ndev, rows1=d1.n, wall_s=best,
+            c1 = best_stats.get("compute_s")
+        core_norm = ndev * t1 / best
+        if core_norm > ndev:
+            # t(k) < t(1) on a shared core is a measurement anomaly
+            # (host noise); surface it instead of silently clamping
+            print(
+                f"WARNING: core_normalized {core_norm:.2f} > "
+                f"{ndev} (t({ndev}) < t(1)) — noisy measurement",
+                file=sys.stderr,
+            )
+        r = dict(devices=ndev, rows1=d1.n, wall_s=best,
                  efficiency=t1 / best,
-                 core_normalized=min(ndev * t1 / best, float(ndev)),
+                 core_normalized=core_norm,
                  checksum=float(m.sum()))
-        )
+        # Overhead attribution (sharded mode fills mesh.LAST_STATS):
+        # pack/shard/put are host-serial prep here but per-host
+        # parallel on a real multi-host mesh (COMPAIRR_INPUT_SHARD),
+        # so compute_core_normalized — the SPMD program itself — is
+        # the honest weak-scaling figure; pad_fraction reports how
+        # much of the worklist is padding quantisation.
+        if best_stats:
+            cs = best_stats.get("compute_s")
+            r.update(
+                compute_s=cs,
+                prep_s=best - cs if cs is not None else None,
+                pack_s=best_stats.get("pack_s"),
+                shard_s=best_stats.get("shard_s"),
+                put_s=best_stats.get("put_s"),
+                real_tiles=best_stats.get("real_tiles"),
+                padded_tiles_per_shard=best_stats.get(
+                    "padded_tiles_per_shard"
+                ),
+                pad_fraction=best_stats.get("pad_fraction"),
+            )
+            if cs is not None and c1:
+                r["compute_core_normalized"] = ndev * c1 / cs
+        results.append(r)
         print(json.dumps(results[-1]))
 
-    # the workload construction guarantees exact linearity
+    # The workload construction guarantees exact linearity, and the
+    # dense engine's matrices are exact-integer f64 (the f32 exactness
+    # guard chunks anything that could round), so equality must be
+    # bit-exact — if a future dtype change breaks this, fail loudly.
     assert all(
-        abs(r["checksum"] - r["devices"] * results[0]["checksum"]) < 1e-6
+        r["checksum"] == r["devices"] * results[0]["checksum"]
         for r in results
-    ), "matrix checksum must scale linearly with the device count"
+    ), "matrix checksum must scale exactly linearly (exact-integer f64)"
 
     print(
         json.dumps(
@@ -125,6 +170,9 @@ def main():
                 per_device_rows=args.per_device,
                 efficiency_at_max=results[-1]["efficiency"],
                 core_normalized_at_max=results[-1]["core_normalized"],
+                compute_core_normalized_at_max=results[-1].get(
+                    "compute_core_normalized"
+                ),
                 results=results,
             )
         )

@@ -3,6 +3,7 @@ import pytest
 
 from compairr_tpu.config import Options
 from compairr_tpu.constants import (
+    SCORE_JACCARD,
     SCORE_MAX,
     SCORE_MEAN,
     SCORE_MIN,
@@ -558,3 +559,187 @@ def test_dense_pallas_interpret_matches_xla(dbs, d, indels):
         d1, d2, spec, SCORE_PRODUCT, False, engine="pallas"
     )
     np.testing.assert_allclose(m_xla, m_pal, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize(
+    "score,expect_chains",
+    [
+        (SCORE_MIN, 3),       # cmax=3 -> one ge-chain per threshold
+        (SCORE_JACCARD, 3),   # Jaccard accumulates min (overlap.cc:144-166)
+        (SCORE_MAX, 5),       # lo + cnt sum chains + 3 negated ge
+    ],
+)
+def test_dense_v2_threshold_chains(dbs, score, expect_chains, monkeypatch):
+    """min/max/Jaccard decompose into threshold chains
+    (min(ca,cb) = sum_t 1[ca>=t]*1[cb>=t], _v2_chains) and must match
+    the sparse f64 path exactly through the v2 kernel (interpret) —
+    VERDICT r4 item 6. The dbs fixture's max_count=3 keeps the chain
+    count at cmax=3."""
+    from compairr_tpu.ops import pallas_kernels as P
+
+    d1, d2 = dbs
+    spec = MatchSpec(differences=1, indels=False, ignore_genes=False)
+    calls = []
+    real = P._dense_v2_fn
+
+    def probe(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(P, "_dense_v2_fn", probe)
+    dm = dense_matrix(d1, d2, spec, score, False, engine="pallas")
+    assert calls, "v2 kernel was not selected for a threshold-chain run"
+    assert len(calls[0][1]) == expect_chains
+    assert P.LAST_DENSE_KERNEL == "v2"
+    sm = sparse_matrix(d1, d2, spec, score, False)
+    np.testing.assert_allclose(dm, sm, rtol=0, atol=0)
+
+
+def test_dense_v2_threshold_chain_gates():
+    """The threshold decomposition only exists for small integer cmax
+    (chain count = cmax); large or fractional counts fall back."""
+    from compairr_tpu.constants import SCORE_JACCARD as J
+    from compairr_tpu.constants import SCORE_MAX as MX
+    from compairr_tpu.constants import SCORE_MIN as MN
+    from compairr_tpu.ops.pallas_kernels import _V2_GE_CMAX, _v2_chains
+
+    assert _v2_chains(MN, False, 4.0) == (
+        ("ge1", "ge1", 1.0), ("ge2", "ge2", 1.0),
+        ("ge3", "ge3", 1.0), ("ge4", "ge4", 1.0),
+    )
+    assert _v2_chains(J, False, 2.0) == (
+        ("ge1", "ge1", 1.0), ("ge2", "ge2", 1.0),
+    )
+    mx = _v2_chains(MX, False, 2.0)
+    assert mx == (
+        ("lo", "one", 1.0), ("one", "cnt", 1.0),
+        ("ge1", "ge1", -1.0), ("ge2", "ge2", -1.0),
+    )
+    assert _v2_chains(MN, False, float(_V2_GE_CMAX + 1)) is None
+    assert _v2_chains(MN, False, 2.5) is None
+    # -f collapses every mode to the single unit chain
+    assert _v2_chains(MN, True, 1e9) == (("one", "one", 1.0),)
+
+
+@pytest.mark.parametrize(
+    "indels,score,oh_cap",
+    [
+        (True, SCORE_PRODUCT, None),   # indel run: no HBM one-hots exist
+        (False, SCORE_PRODUCT, "1"),   # budget overflow: oh rejected
+        (True, SCORE_MIN, None),       # indel + threshold chains
+    ],
+)
+def test_dense_v2c_kernel(dbs, indels, score, oh_cap, monkeypatch):
+    """The cached-operand v2c kernel (VMEM b-side one-hot cache, the
+    sparse kernels' _cached_key_match treatment) must serve the runs
+    v2 cannot — indel runs and one-hot-budget overflows — instead of
+    the v1 per-tile-rebuild kernel (VERDICT r4 item 2), and match the
+    sparse f64 path exactly."""
+    from compairr_tpu.ops import pallas_kernels as P
+
+    if oh_cap is not None:
+        monkeypatch.setenv("COMPAIRR_OH_BYTES_MAX", oh_cap)
+    d1, d2 = dbs
+    spec = MatchSpec(differences=1, indels=indels, ignore_genes=False)
+    calls = []
+    real = P._dense_v2c_fn
+
+    def probe(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(P, "_dense_v2c_fn", probe)
+    dm = dense_matrix(d1, d2, spec, score, False, engine="pallas")
+    assert calls, "v2c kernel was not selected"
+    assert P.LAST_DENSE_KERNEL == "v2c"
+    sm = sparse_matrix(d1, d2, spec, score, False)
+    np.testing.assert_allclose(dm, sm, rtol=0, atol=0)
+
+
+def test_dense_v2c_keck_two_file_shape(monkeypatch):
+    """Kernel-class pin for the Keck-scale TWO-FILE dense shape: each
+    side's one-hots alone fit a 16 GB device, both together do not —
+    the run must take v2c (a-side HBM one-hots streamed, b-side
+    cached in VMEM), not fall to v1 (VERDICT r4 weak item 1)."""
+    from compairr_tpu.ops import pallas_kernels as P
+
+    monkeypatch.delenv("COMPAIRR_OH_ROWS_MAX", raising=False)
+    monkeypatch.setenv("COMPAIRR_OH_BYTES_MAX", "12500000000")
+    npad = 24_258_048
+    lpad = 24
+    fake_key = object()
+    mk = lambda oh: dict(
+        seqs=np.zeros((1, lpad), np.int8), oh=oh, key32=fake_key,
+        rseqs=None, cmax=3.0,
+    )
+    a_fits = P._oh_fits(npad, lpad)          # full budget: yes
+    shared = P._oh_fits(npad, lpad, 0.5)     # split budget: no
+    assert a_fits and not shared
+    # the two-file driver (engine.dense_matrix) passes scale 0.5 to
+    # each side, so b gets no "oh" — the kind ladder must pick v2c
+    kind = P._dense_kernel_kind(
+        mk(fake_key), mk(None), indels=False, score_int=SCORE_PRODUCT,
+        ignore_counts=False, r1p=128, tile_n=768,
+    )
+    assert kind == "v2c"
+    # and with both sides' one-hots present (self-compare), v2 stays
+    kind = P._dense_kernel_kind(
+        mk(fake_key), mk(fake_key), indels=False,
+        score_int=SCORE_PRODUCT, ignore_counts=False,
+        r1p=128, tile_n=768,
+    )
+    assert kind == "v2"
+
+
+def test_dense_kernel_kind_v1_fallbacks():
+    """v1 remains only for runs with no fused key or no exact chain
+    decomposition at their cmax."""
+    from compairr_tpu.constants import SCORE_MIN as MN
+    from compairr_tpu.constants import SCORE_RATIO
+    from compairr_tpu.ops import pallas_kernels as P
+
+    lpad = 24
+    base = dict(
+        seqs=np.zeros((1, lpad), np.int8), oh=None, key32=object(),
+        rseqs=None, cmax=3.0,
+    )
+    nokey = dict(base, key32=None)
+    assert P._dense_kernel_kind(
+        nokey, nokey, indels=False, score_int=SCORE_PRODUCT,
+        ignore_counts=False, r1p=8, tile_n=256,
+    ) == "v1"
+    big = dict(base, cmax=1e6)
+    assert P._dense_kernel_kind(
+        big, big, indels=False, score_int=MN,
+        ignore_counts=False, r1p=8, tile_n=256,
+    ) == "v1"
+    assert P._dense_kernel_kind(
+        base, base, indels=False, score_int=SCORE_RATIO,
+        ignore_counts=False, r1p=8, tile_n=256,
+    ) == "v1"
+
+
+def test_dense_v2_single_bucket_data(tmp_path):
+    """Single-V/J fixed-length data (every tile one (v,j,len) bucket —
+    the Keck-typical shape) through the v2 kernel must match the
+    sparse f64 path exactly."""
+    from compairr_tpu.ops import pallas_kernels as P
+
+    a_path = make_tsv(
+        str(tmp_path / "a.tsv"), 300, 4, seed=41, n_v=1, n_j=1,
+        len_range=(10, 10), alphabet_sub=4, max_count=3,
+    )
+    b_path = make_tsv(
+        str(tmp_path / "b.tsv"), 260, 5, seed=42, n_v=1, n_j=1,
+        len_range=(10, 10), alphabet_sub=4, max_count=3,
+    )
+    genes = GeneTables()
+    opt = Options()
+    log = NullLogger()
+    d1 = read_db(a_path, opt, genes, log, False, "1")
+    d2 = read_db(b_path, opt, genes, log, False, "2")
+    spec = MatchSpec(differences=2, indels=False, ignore_genes=False)
+    dm = dense_matrix(d1, d2, spec, SCORE_PRODUCT, False, engine="pallas")
+    assert P.LAST_DENSE_KERNEL == "v2"
+    sm = sparse_matrix(d1, d2, spec, SCORE_PRODUCT, False)
+    np.testing.assert_allclose(dm, sm, rtol=0, atol=0)

@@ -19,9 +19,13 @@ from synth import make_tsv
 
 REF_BIN = "/tmp/refbuild/src/compairr"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(REF_BIN), reason="reference binary not available"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.exists(REF_BIN),
+        reason="reference binary not available",
+    ),
+    pytest.mark.slow,
+]
 
 
 def _one_trial(tmp_path, it: int) -> None:
