@@ -105,20 +105,77 @@ def _global_put(mesh: Mesh, pspec: P, host_arr: np.ndarray):
     )
 
 
-def _shard_packed(a: PackedSet, n_shards: int, tile_m: int):
-    """Split a packed (length-sorted) set into n_shards row chunks of
-    identical padded size; returns stacked [n_shards, chunk, ...]
-    arrays plus per-shard real row counts."""
-    n = a.n
+def _equal_span_bounds(n: int, n_shards: int):
     per = -(-n // n_shards) if n else 0
-    chunk = _round_up(per, tile_m) + tile_m  # + one all-pad dummy tile
+    return [
+        (min(k * per, n), min(min(k * per, n) + per, n))
+        for k in range(n_shards)
+    ]
+
+
+def _balanced_bounds(
+    a: PackedSet, b: PackedSet, spec: MatchSpec, tile_m: int,
+    tile_n: int, n_shards: int,
+):
+    """Contiguous block-aligned set-1 row spans with ~equal worklist
+    TILE counts per shard. The SPMD worklists are padded to the
+    longest shard's length with dummy all-pad tiles that still cost a
+    full tile of compute, so equal row spans (whose tile counts
+    diverge with the length/gene distribution of the sorted packing)
+    make every shard pay the busiest shard's wall. Splitting at the
+    quantiles of the cumulative per-row-block tile counts balances
+    compute instead — the sharding analogue of the reference's
+    dynamic chunk scheduling (/root/reference/src/overlap.cc:421-434).
+    Cuts stay on tile_m block boundaries, so each shard's re-packed
+    blocks coincide with the full packing's and per-shard worklists
+    recover exactly the planned per-block tiles."""
+    from ..ops.engine import worklist_from_keys
+
+    delta = 1 if (spec.indels and spec.differences == 1) else 0
+    full = worklist_from_keys(
+        a.key, a.n, b.key, b.n, delta, tile_m, tile_n
+    )
+    if len(full) == 0:
+        return _equal_span_bounds(a.n, n_shards)
+    nblocks = max(a.np_ // tile_m, 1)
+    counts = np.bincount(
+        full[:, 0] // tile_m, minlength=nblocks
+    )
+    prefix = np.cumsum(counts)
+    total = int(prefix[-1])
+    cuts = [0]
+    for k in range(1, n_shards):
+        target = total * k / n_shards
+        cut = int(np.searchsorted(prefix, target, side="left")) + 1
+        cuts.append(max(min(cut, nblocks), cuts[-1]))
+    cuts.append(nblocks)
+    return [
+        (
+            min(cuts[k] * tile_m, a.n),
+            a.n if k == n_shards - 1 else min(cuts[k + 1] * tile_m, a.n),
+        )
+        for k in range(n_shards)
+    ]
+
+
+def _shard_packed(
+    a: PackedSet, n_shards: int, tile_m: int, bounds=None
+):
+    """Split a packed (length-sorted) set into n_shards contiguous row
+    chunks of identical padded size; returns stacked
+    [n_shards, chunk, ...] arrays plus the per-shard (lo, hi) row
+    bounds. Default bounds are equal row spans; pass _balanced_bounds
+    output to balance by worklist tile count instead."""
+    n = a.n
+    if bounds is None:
+        bounds = _equal_span_bounds(n, n_shards)
+    span = max((hi - lo for lo, hi in bounds), default=0)
+    chunk = _round_up(span, tile_m) + tile_m  # + one all-pad dummy tile
 
     def stack(x: np.ndarray, pad_value) -> np.ndarray:
         shape = (n_shards, chunk) + x.shape[1:]
         out = np.full(shape, pad_value, dtype=x.dtype)
-        for k in range(n_shards):
-            lo = min(k * per, n)
-            hi = min(lo + per, n)
+        for k, (lo, hi) in enumerate(bounds):
             if hi > lo:
                 out[k, : hi - lo] = x[lo:hi]
         return out
@@ -134,10 +191,6 @@ def _shard_packed(a: PackedSet, n_shards: int, tile_m: int):
         counts=stack(a.counts[:n], 0.0),
         key=stack(a.key[:n], a.key[-1]),
     )
-    bounds = [
-        (min(k * per, n), min(min(k * per, n) + per, n))
-        for k in range(n_shards)
-    ]
     return stacked, chunk, bounds
 
 
@@ -210,7 +263,17 @@ def dense_matrix_sharded(
     t_pack = _time.perf_counter() - t0
 
     t0 = _time.perf_counter()
-    stacked, chunk, bounds = _shard_packed(a, n_shards, tile_m)
+    import os as _os_bal
+
+    balance = _os_bal.environ.get("COMPAIRR_SHARD_BALANCE", "1") != "0"
+    bounds = (
+        _balanced_bounds(a, b, spec, tile_m, tile_n, n_shards)
+        if balance
+        else None
+    )
+    stacked, chunk, bounds = _shard_packed(
+        a, n_shards, tile_m, bounds=bounds
+    )
     work, lists = _shard_worklists(
         stacked["key"], bounds, b, spec, tile_m, tile_n, chunk
     )
