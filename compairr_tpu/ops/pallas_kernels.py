@@ -267,7 +267,13 @@ def _cached_key_match(
     @pl.when(rebuild)
     def _():
         if not indel_only:
-            scratch["bh_i8"][:] = _onehot(b_seq[:], NCLASS)
+            oh_b = _onehot(b_seq[:], NCLASS)
+            # HBM-streamed a blocks carry _ohp zero pad lanes; match
+            # the cached b operand's width (zero x zero contributes 0)
+            wpad = scratch["bh_i8"].shape[1] - oh_b.shape[1]
+            if wpad:
+                oh_b = jnp.pad(oh_b, ((0, 0), (0, wpad)))
+            scratch["bh_i8"][:] = oh_b
         if indels:
             lanes = NCLASS * lpad
             ohb = _onehot_bf(b_seq[:], NCLASS)
@@ -895,7 +901,7 @@ def _dense_v2_fn(
         r2p=r2p,
         int8_stage1=int8_stage1,
     )
-    ohw = NCLASS * lpad
+    ohw = _ohp(lpad)  # HBM one-hot rows carry zero pad lanes
 
     def a_spec(width):
         return pl.BlockSpec(
@@ -952,6 +958,183 @@ def _dense_v2_fn(
         ],
     )
 
+    fn = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r1p, r2p), jnp.float32),
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+def _make_dense_v3_kernel(
+    *,
+    differences: int,
+    chains: tuple,
+    lpad: int,
+    tile_m: int,
+    tile_n: int,
+    r1p: int,
+    r2p: int,
+    n_tiles: int,
+    depth: int,
+    int8_stage1: bool,
+):
+    """Manually pipelined v2 (the throughput dense kernel): ONE grid
+    program, an in-kernel fori_loop over the worklist, and a
+    depth-deep DMA ring streaming the a/b one-hot blocks plus packed
+    key/rep/count rows ("scal4") from HBM.
+
+    Why: Mosaic's automatic per-program pipeline only overlaps the
+    Hamming matmul with the next block fetch — same-window ablations
+    measured the v2 kernel's match/stage-1/flush tail (~1.7 us per
+    768-tile program) fully additive on top of a ~3.1 us/program
+    DMA-bound floor, and a ~1.2 us fixed cost per grid program that
+    batching bodies into one program does NOT remove (kbatch=2/4 ran
+    1.3-1.9x SLOWER). Issuing the copies ourselves from a single
+    program overlaps the WHOLE body with the ring's in-flight fetches:
+    15.2 ms -> 10.7 ms on the benchmark worklist (3162 tiles, 1M x 1M
+    rows, d=2 product chains), checksum-identical, projecting the MXU
+    utilisation from 0.34 to ~0.51 of int8 peak.
+
+    Exactness is unchanged from v2: the score reduction is the same
+    _chain_reduce (stage-1 Q accumulation + flush at the same
+    host-computed flags), iterated in the same worklist order.
+    Reference analogue: the all-vs-all grid it accelerates,
+    /root/reference/src/overlap.cc:286-359."""
+
+    def kernel(
+        rows_ref, cols_ref, flush_ref,
+        a_oh_hbm, a_scal_hbm, b_oh_hbm, b_scal_hbm,
+        out_ref,
+        a_buf, a_sbuf, b_buf, b_sbuf, sems, *qs,
+    ):
+        out_ref[:] = jnp.zeros_like(out_ref)
+        for q in qs:
+            q[:] = jnp.zeros_like(q)
+
+        def copies(slot, t):
+            r = rows_ref[t]
+            c = cols_ref[t]
+            return (
+                pltpu.make_async_copy(
+                    a_oh_hbm.at[pl.ds(r * tile_m, tile_m), :],
+                    a_buf.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    a_scal_hbm.at[:, pl.ds(r * tile_m, tile_m)],
+                    a_sbuf.at[slot], sems.at[slot, 1]),
+                pltpu.make_async_copy(
+                    b_oh_hbm.at[pl.ds(c * tile_n, tile_n), :],
+                    b_buf.at[slot], sems.at[slot, 2]),
+                pltpu.make_async_copy(
+                    b_scal_hbm.at[:, pl.ds(c * tile_n, tile_n)],
+                    b_sbuf.at[slot], sems.at[slot, 3]),
+            )
+
+        def start(slot, t):
+            for d in copies(slot, t):
+                d.start()
+
+        for s in range(depth - 1):
+            if s < n_tiles:
+                start(s, s)
+
+        def body(t, carry):
+            slot = lax.rem(t, depth)
+            nxt = t + depth - 1
+
+            @pl.when(nxt < n_tiles)
+            def _():
+                start(lax.rem(nxt, depth), nxt)
+
+            for d in copies(slot, t):
+                d.wait()
+            matches = lax.dot_general(
+                a_buf[slot], b_buf[slot],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            a_s = a_sbuf[slot]  # [4, TM] i32: key / rep / count / pad
+            b_s = b_sbuf[slot]
+            keq = a_s[0:1].T == b_s[0:1]
+            match = keq & (matches >= lpad - differences)
+            _chain_reduce(
+                t, flush_ref, match,
+                a_s[1:2], a_s[2:3].astype(jnp.float32),
+                b_s[1:2], b_s[2:3].astype(jnp.float32),
+                out_ref, qs, chains=chains, tile_m=tile_m,
+                tile_n=tile_n, r1p=r1p, r2p=r2p,
+                int8_stage1=int8_stage1,
+            )
+            return carry
+
+        lax.fori_loop(0, n_tiles, body, 0)
+
+    return kernel
+
+
+_V3_DEPTH = int(__import__("os").environ.get("COMPAIRR_V3_DEPTH", "3"))
+
+
+def _v3_scratch_ok(
+    chains: tuple, r1p: int, tile_m: int, tile_n: int, lpad: int,
+    depth: int = _V3_DEPTH,
+) -> bool:
+    """v3 VMEM budget: the chain Q accumulators plus the DMA ring
+    buffers (depth x one-hot block + scal rows per side)."""
+    total = len(chains) * r1p * tile_n * 4
+    total += depth * (tile_m + tile_n) * (_ohp(lpad) + 4 * 4)
+    return total <= _V2_SCRATCH_BYTES_MAX
+
+
+@lru_cache(maxsize=None)
+def _dense_v3_fn(
+    differences: int,
+    chains: tuple,
+    lpad: int,
+    tile_m: int,
+    tile_n: int,
+    r1p: int,
+    r2p: int,
+    n_tiles: int,
+    depth: int = _V3_DEPTH,
+    interpret: bool = False,
+    int8_stage1: bool = False,
+):
+    kernel = _make_dense_v3_kernel(
+        differences=differences, chains=chains, lpad=lpad,
+        tile_m=tile_m, tile_n=tile_n, r1p=r1p, r2p=r2p,
+        n_tiles=n_tiles, depth=depth, int8_stage1=int8_stage1,
+    )
+    ohw = _ohp(lpad)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # a one-hot rows
+            pl.BlockSpec(memory_space=pltpu.ANY),  # a scal4
+            pl.BlockSpec(memory_space=pltpu.ANY),  # b one-hot rows
+            pl.BlockSpec(memory_space=pltpu.ANY),  # b scal4
+        ],
+        out_specs=pl.BlockSpec(
+            (r1p, r2p),
+            index_map=lambda i, rows, cols, flush: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((depth, tile_m, ohw), jnp.int8),
+            pltpu.VMEM((depth, 4, tile_m), jnp.int32),
+            pltpu.VMEM((depth, tile_n, ohw), jnp.int8),
+            pltpu.VMEM((depth, 4, tile_n), jnp.int32),
+            pltpu.SemaphoreType.DMA((depth, 4)),
+        ] + [
+            pltpu.VMEM(
+                (r1p, tile_n),
+                jnp.int32 if int8_stage1 else jnp.float32,
+            )
+            for _ in chains
+        ],
+    )
     fn = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1070,6 +1253,10 @@ def _dense_v2c_fn(
         int8_stage1=int8_stage1,
     )
     ohw = NCLASS * lpad
+    # the cached b-side Hamming operand matches the a operand's width:
+    # _ohp zero pad lanes when a streams HBM one-hot rows, bare ohw
+    # when a one-hots are built in-kernel
+    bh_w = _ohp(lpad) if a_hbm else ohw
 
     def a_spec(width):
         return pl.BlockSpec(
@@ -1113,7 +1300,7 @@ def _dense_v2c_fn(
             memory_space=pltpu.VMEM,
         )
 
-    scratch = [pltpu.VMEM((tile_n, ohw), jnp.int8)]
+    scratch = [pltpu.VMEM((tile_n, bh_w), jnp.int8)]
     if indels:
         nb = _nbands(lpad)
         scratch += [
@@ -1131,7 +1318,7 @@ def _dense_v2c_fn(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
-            a_spec(ohw if a_hbm else lpad),  # a_oh / a_seq
+            a_spec(bh_w if a_hbm else lpad),  # a_oh / a_seq
             a_spec(lpad) if indels else a_dummy(lpad),  # a_rseq
             aT_spec(1),  # a_key
             aT_spec(1),  # a_rep
@@ -1180,7 +1367,7 @@ def _v2_scratch_ok(
     total = len(chains) * r1p * tile_n * 4  # Q accumulators
     if cached_b:
         ohw = NCLASS * lpad
-        total += tile_n * ohw  # bh_i8
+        total += tile_n * _ohp(lpad)  # bh_i8 (pad lanes when a_hbm)
         if indels:
             total += 2 * _nbands(lpad) * tile_n * ohw * 2  # bf16 fwd+rev
     return total <= _V2_SCRATCH_BYTES_MAX
@@ -1235,7 +1422,8 @@ LAST_DENSE_KERNEL: Optional[str] = None
 
 
 def _dense_kernel_kind(
-    a_dev, b_dev, *, indels, score_int, ignore_counts, r1p, tile_n
+    a_dev, b_dev, *, indels, score_int, ignore_counts, r1p, tile_n,
+    tile_m: Optional[int] = None,
 ) -> str:
     global LAST_DENSE_KERNEL
     if _dense_v2_eligible(
@@ -1243,6 +1431,19 @@ def _dense_kernel_kind(
         ignore_counts=ignore_counts, r1p=r1p, tile_n=tile_n,
     ):
         kind = "v2"
+        cmax = max(a_dev.get("cmax", 0.0), b_dev.get("cmax", 0.0))
+        chains = _v2_chains(score_int, ignore_counts, cmax)
+        lpad = a_dev["seqs"].shape[1]
+        if (
+            a_dev.get("scal4") is not None
+            and b_dev.get("scal4") is not None
+            and _v3_scratch_ok(
+                chains, r1p, tile_m if tile_m else tile_n, tile_n,
+                lpad,
+            )
+            and __import__("os").environ.get("COMPAIRR_V3", "1") != "0"
+        ):
+            kind = "v3"
     elif _dense_v2c_eligible(
         a_dev, b_dev, indels=indels, score_int=score_int,
         ignore_counts=ignore_counts, r1p=r1p, tile_n=tile_n,
@@ -1919,23 +2120,36 @@ def _oh_bytes_budget() -> int:
     return int(limit * 0.78)
 
 
+def _ohp(lpad: int) -> int:
+    """HBM one-hot row width, padded to the 128-lane tiling so the v3
+    kernel's manual DMA slices stay aligned (Mosaic requires lane-dim
+    DMA slices in 128 multiples). The pad lanes are zero on every row,
+    so Hamming matmuls over the full padded width are exact."""
+    return ((NCLASS * lpad + 127) // 128) * 128
+
+
 def _oh_fits(npad: int, lpad: int, budget_scale: float = 1.0) -> bool:
     """True when a set's HBM one-hot rows fit the device budget.
     budget_scale < 1 shares the budget between two distinct sets."""
     env_rows = __import__("os").environ.get("COMPAIRR_OH_ROWS_MAX")
     if env_rows is not None and npad > int(env_rows):
         return False
-    return npad * NCLASS * lpad <= _oh_bytes_budget() * budget_scale
+    return npad * _ohp(lpad) <= _oh_bytes_budget() * budget_scale
 
 
 def _onehot_rows_chunk(seqs_c, nclass: int):
-    """[rows, L] int8 -> [rows, nclass*L] int8 one-hot, feature (c, l)
+    """[rows, L] int8 -> [rows, _ohp(L)] int8 one-hot, feature (c, l)
     at lane c*L + l — the exact layout _onehot builds in-kernel, so
-    HBM-precomputed and in-kernel operands are interchangeable."""
+    HBM-precomputed and in-kernel operands are interchangeable; lanes
+    beyond nclass*L are zero padding (see _ohp)."""
     rows, lpad = seqs_c.shape
     cls = lax.broadcasted_iota(jnp.int32, (1, nclass, 1), 1)
     oh = (seqs_c[:, None, :].astype(jnp.int32) == cls).astype(jnp.int8)
-    return oh.reshape(rows, nclass * lpad)
+    oh = oh.reshape(rows, nclass * lpad)
+    pad = _ohp(lpad) - nclass * lpad
+    if pad:
+        oh = jnp.pad(oh, ((0, 0), (0, pad)))
+    return oh
 
 
 def _onehot_rows(seqs_s, nclass: int):
@@ -1955,7 +2169,7 @@ def _onehot_rows(seqs_s, nclass: int):
             buf, _onehot_rows_chunk(s, nclass), (start, 0)
         )
 
-    init = jnp.zeros((npad, nclass * lpad), jnp.int8)
+    init = jnp.zeros((npad, _ohp(lpad)), jnp.int8)
     return lax.fori_loop(0, nchunks, body, init)
 
 
@@ -2261,6 +2475,21 @@ def device_args_raw(db, order: np.ndarray, npad: int, lpad: int,
         k32 = np.full(npad, -1, dtype=np.int32)
         k32[:n] = sort_key[:n]
         a["key32"] = b["key32"] = dev(k32.reshape(1, npad))
+        if with_oh:
+            # packed per-row scalars for the v3 kernel's DMA ring: one
+            # [4, npad] int32 operand per side (key / rep / count /
+            # zero pad — DMA sublane slices need 4-multiples) instead
+            # of three separate rows. Counts are parser-validated
+            # integers, so the int32 round trip is exact.
+            rep_i = np.full(npad, -1, dtype=np.int32)
+            rep_i[:n] = db.rep_no[order]
+            cnt_i = np.zeros(npad, dtype=np.int32)
+            cnt_i[:n] = np.asarray(db.counts[order], dtype=np.int64)
+            a["scal4"] = b["scal4"] = dev(
+                np.stack(
+                    [k32, rep_i, cnt_i, np.zeros(npad, np.int32)]
+                ).astype(np.int32)
+            )
     return {"a": a, "b": b}
 
 
@@ -2330,7 +2559,7 @@ def dense_matrix_pallas_prepared(
     kind = _dense_kernel_kind(
         a_dev, b_dev,
         indels=indels, score_int=score_int, ignore_counts=ignore_counts,
-        r1p=r1p, tile_n=tile_n,
+        r1p=r1p, tile_n=tile_n, tile_m=tile_m,
     )
     if kind != "v1":
         cmax = max(a_dev.get("cmax", 0.0), b_dev.get("cmax", 0.0))
@@ -2349,6 +2578,22 @@ def dense_matrix_pallas_prepared(
         cols = jax.device_put(
             (chunk[:, 1] // tile_n).astype(np.int32), dev
         )
+        if kind == "v3":
+            fn0 = _dense_v3_fn(
+                differences, chains, lpad, tile_m, tile_n, r1p, r2p,
+                int(len(chunk)), _V3_DEPTH, interpret, int8_s1,
+            )
+            flush = jax.device_put(_flush_flags(chunk, run_cap), dev)
+
+            def fn(r, c, *a, _f=fn0, _fl=flush):
+                return _f(r, c, _fl, *a)
+
+            args = (
+                a_dev["oh"], a_dev["scal4"],
+                b_dev["oh"], b_dev["scal4"],
+            )
+            prepared.append((fn, rows, cols, args))
+            continue
         if kind == "v2":
             fn0 = _dense_v2_fn(
                 differences, chains,
@@ -2436,7 +2681,7 @@ def _dense_pallas_chunk(
     kind = _dense_kernel_kind(
         a_dev, b_dev,
         indels=indels, score_int=score_int, ignore_counts=ignore_counts,
-        r1p=r1p, tile_n=tile_n,
+        r1p=r1p, tile_n=tile_n, tile_m=tile_m,
     )
     if kind != "v1":
         cmax = max(a_dev.get("cmax", 0.0), b_dev.get("cmax", 0.0))
@@ -2446,6 +2691,18 @@ def _dense_pallas_chunk(
         flush = jax.device_put(
             _flush_flags(work, _v2_run_cap(tile_m, wmax)), dev
         )
+        if kind == "v3":
+            fn = _dense_v3_fn(
+                differences, chains, lpad, tile_m, tile_n, r1p, r2p,
+                int(len(rows)), _V3_DEPTH, interpret, int8_s1,
+            )
+            return fn(
+                jax.device_put(rows, dev),
+                jax.device_put(cols, dev),
+                flush,
+                a_dev["oh"], a_dev["scal4"],
+                b_dev["oh"], b_dev["scal4"],
+            )
         if kind == "v2":
             fn = _dense_v2_fn(
                 differences, chains,

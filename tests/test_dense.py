@@ -68,29 +68,31 @@ def test_dense_matches_sparse(dbs, d, indels, genes, score, f):
 
 
 @pytest.mark.parametrize("f", [False, True])
-def test_dense_v2_kernel_interpret(dbs, f):
-    """The v2 dense kernel (HBM one-hots + byte-split count folding)
-    in Pallas interpret mode must match the sparse path exactly —
-    substitution-only product/-f runs route onto it
-    (pallas_kernels._dense_v2_eligible)."""
+@pytest.mark.parametrize("kernel", ["v3", "v2"])
+def test_dense_v2_kernel_interpret(dbs, f, kernel, monkeypatch):
+    """The throughput dense kernels (HBM one-hots + byte-split count
+    folding) in Pallas interpret mode must match the sparse path
+    exactly — substitution-only product/-f runs route onto the
+    pipelined v3 kernel by default (pallas_kernels._dense_kernel_kind)
+    and onto v2 under COMPAIRR_V3=0."""
     from compairr_tpu.ops import pallas_kernels as P
 
+    if kernel == "v2":
+        monkeypatch.setenv("COMPAIRR_V3", "0")
     d1, d2 = dbs
     spec = MatchSpec(differences=2, indels=False, ignore_genes=False)
     calls = []
-    real = P._dense_v2_fn
+    fn_name = "_dense_v3_fn" if kernel == "v3" else "_dense_v2_fn"
+    real = getattr(P, fn_name)
 
     def probe(*a, **k):
         calls.append(1)
         return real(*a, **k)
 
-    orig = P._dense_v2_fn
-    P._dense_v2_fn = probe
-    try:
-        dm = dense_matrix(d1, d2, spec, SCORE_PRODUCT, f, engine="pallas")
-    finally:
-        P._dense_v2_fn = orig
-    assert calls, "v2 kernel was not selected for a product-score run"
+    monkeypatch.setattr(P, fn_name, probe)
+    dm = dense_matrix(d1, d2, spec, SCORE_PRODUCT, f, engine="pallas")
+    assert calls, f"{kernel} kernel was not selected for a product run"
+    assert P.LAST_DENSE_KERNEL == kernel
     sm = sparse_matrix(d1, d2, spec, SCORE_PRODUCT, f)
     np.testing.assert_allclose(dm, sm, rtol=0, atol=0)
 
@@ -109,16 +111,16 @@ def test_dense_v2_chain_modes(dbs, score, f, monkeypatch):
     d1, d2 = dbs
     spec = MatchSpec(differences=1, indels=False, ignore_genes=False)
     calls = []
-    real = P._dense_v2_fn
+    real = P._dense_v3_fn
 
     def probe(*a, **k):
         calls.append(a[1])  # the chains tuple
         return real(*a, **k)
 
-    monkeypatch.setattr(P, "_dense_v2_fn", probe)
+    monkeypatch.setattr(P, "_dense_v3_fn", probe)
     monkeypatch.setattr(P, "_v2_run_cap", lambda *a: 2)
     dm = dense_matrix(d1, d2, spec, score, f, engine="pallas")
-    assert calls, "v2 kernel was not selected"
+    assert calls, "v3 kernel was not selected"
     if f:
         assert calls[0] == (("one", "one", 1.0),)
     elif score == SCORE_MEAN:
@@ -155,13 +157,13 @@ def test_dense_v2_high_byte_counts(tmp_path, monkeypatch, max_count):
     assert (cmax >= 256) == (max_count == 280) and cmax >= 128
     spec = MatchSpec(differences=1, indels=False, ignore_genes=False)
     calls = []
-    real = P._dense_v2_fn
+    real = P._dense_v3_fn
 
     def probe(*a, **k):
         calls.append(a)
         return real(*a, **k)
 
-    monkeypatch.setattr(P, "_dense_v2_fn", probe)
+    monkeypatch.setattr(P, "_dense_v3_fn", probe)
     dm = dense_matrix(d1, d2, spec, SCORE_PRODUCT, False, engine="pallas")
     assert calls
     chains = calls[0][1]
@@ -580,17 +582,17 @@ def test_dense_v2_threshold_chains(dbs, score, expect_chains, monkeypatch):
     d1, d2 = dbs
     spec = MatchSpec(differences=1, indels=False, ignore_genes=False)
     calls = []
-    real = P._dense_v2_fn
+    real = P._dense_v3_fn
 
     def probe(*a, **k):
         calls.append(a)
         return real(*a, **k)
 
-    monkeypatch.setattr(P, "_dense_v2_fn", probe)
+    monkeypatch.setattr(P, "_dense_v3_fn", probe)
     dm = dense_matrix(d1, d2, spec, score, False, engine="pallas")
-    assert calls, "v2 kernel was not selected for a threshold-chain run"
+    assert calls, "v3 kernel was not selected for a threshold-chain run"
     assert len(calls[0][1]) == expect_chains
-    assert P.LAST_DENSE_KERNEL == "v2"
+    assert P.LAST_DENSE_KERNEL == "v3"
     sm = sparse_matrix(d1, d2, spec, score, False)
     np.testing.assert_allclose(dm, sm, rtol=0, atol=0)
 
@@ -691,6 +693,36 @@ def test_dense_v2c_keck_two_file_shape(monkeypatch):
     assert kind == "v2"
 
 
+def test_dense_v2c_a_hbm_streamed(dbs, monkeypatch):
+    """Execute (not just route) the v2c a_hbm path: a-side HBM
+    one-hot rows streamed (now _ohp zero-padded to the 128-lane
+    tiling) against the VMEM-cached, width-matched b-side build —
+    must match the sparse f64 path exactly. Forces the asymmetric
+    budget split (a fits at 0.9, the 0.5/0.5 split fails, b gets
+    none) by faking the budget check the way a Keck-scale two-file
+    run resolves it."""
+    from compairr_tpu.ops import pallas_kernels as P
+
+    monkeypatch.setattr(
+        P, "_oh_fits", lambda npad, lpad, scale=1.0: scale >= 0.6
+    )
+    d1, d2 = dbs
+    spec = MatchSpec(differences=1, indels=False, ignore_genes=False)
+    calls = []
+    real = P._dense_v2c_fn
+
+    def probe(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(P, "_dense_v2c_fn", probe)
+    dm = dense_matrix(d1, d2, spec, SCORE_PRODUCT, False, engine="pallas")
+    assert calls and calls[0][-1] is True, "a_hbm v2c was not exercised"
+    assert P.LAST_DENSE_KERNEL == "v2c"
+    sm = sparse_matrix(d1, d2, spec, SCORE_PRODUCT, False)
+    np.testing.assert_allclose(dm, sm, rtol=0, atol=0)
+
+
 def test_dense_kernel_kind_v1_fallbacks():
     """v1 remains only for runs with no fused key or no exact chain
     decomposition at their cmax."""
@@ -740,6 +772,6 @@ def test_dense_v2_single_bucket_data(tmp_path):
     d2 = read_db(b_path, opt, genes, log, False, "2")
     spec = MatchSpec(differences=2, indels=False, ignore_genes=False)
     dm = dense_matrix(d1, d2, spec, SCORE_PRODUCT, False, engine="pallas")
-    assert P.LAST_DENSE_KERNEL == "v2"
+    assert P.LAST_DENSE_KERNEL == "v3"
     sm = sparse_matrix(d1, d2, spec, SCORE_PRODUCT, False)
     np.testing.assert_allclose(dm, sm, rtol=0, atol=0)
