@@ -32,17 +32,30 @@ KECK = "/tmp/diff_large_24205557_d2/input.tsv"
 OUT = "/tmp/keck_sweep"
 
 
-def _subset(src: str, dst: str, n_rows: int) -> str:
+def _subset(src: str, dst: str, n_rows: int, one_rep: bool = False) -> str:
+    """First n_rows rows of src; with one_rep, only the first
+    repertoire's rows (the -x/--existence command rejects multiple
+    repertoires in file 1)."""
     if os.path.exists(dst):
         return dst
     t0 = time.time()
+    rep = None
+    kept = 0
     with open(src, "rb") as f, open(dst, "wb", buffering=1 << 22) as g:
-        for i, line in enumerate(f):
-            if i > n_rows:
-                break
+        g.write(f.readline())  # header
+        for line in f:
+            if one_rep:
+                r = line.split(b"\t", 1)[0]
+                if rep is None:
+                    rep = r
+                elif r != rep:
+                    continue
             g.write(line)
+            kept += 1
+            if kept >= n_rows:
+                break
     sys.stderr.write(
-        f"subset {dst} ({n_rows} rows) in {time.time() - t0:.0f}s\n"
+        f"subset {dst} ({kept} rows) in {time.time() - t0:.0f}s\n"
     )
     return dst
 
@@ -98,7 +111,7 @@ def main() -> int:
             inputs = [_subset(args.input, eight_m, 8_000_000)]
         else:  # exist
             inputs = [
-                _subset(args.input, ten_k, 10_000),
+                _subset(args.input, ten_k, 10_000, one_rep=True),
                 _subset(args.input, eight_m, 8_000_000),
             ]
         ref_out = os.path.join(OUT, f"{name}_ref.tsv")
