@@ -131,13 +131,18 @@ def _balanced_bounds(
     recover exactly the planned per-block tiles."""
     from ..ops.engine import worklist_from_keys
 
+    nblocks = max(a.np_ // tile_m, 1)
+    if nblocks < 4 * n_shards:
+        # too few blocks to balance at block granularity: equal row
+        # spans re-pack each shard into its own (finer) blocks and
+        # win on tiny sets
+        return _equal_span_bounds(a.n, n_shards)
     delta = 1 if (spec.indels and spec.differences == 1) else 0
     full = worklist_from_keys(
         a.key, a.n, b.key, b.n, delta, tile_m, tile_n
     )
     if len(full) == 0:
         return _equal_span_bounds(a.n, n_shards)
-    nblocks = max(a.np_ // tile_m, 1)
     counts = np.bincount(
         full[:, 0] // tile_m, minlength=nblocks
     )

@@ -775,3 +775,34 @@ def test_dense_v2_single_bucket_data(tmp_path):
     assert P.LAST_DENSE_KERNEL == "v3"
     sm = sparse_matrix(d1, d2, spec, SCORE_PRODUCT, False)
     np.testing.assert_allclose(dm, sm, rtol=0, atol=0)
+
+
+def test_dense_v3_scratch_gate_falls_back_to_v2():
+    """When the chain Q accumulators fit the VMEM budget but the v3
+    DMA ring buffers push past it, the kind ladder must keep the v2
+    kernel (auto-pipelined) rather than reject the run."""
+    from compairr_tpu.constants import SCORE_MIN as MN
+    from compairr_tpu.ops import pallas_kernels as P
+
+    lpad = 24
+    fake = object()
+    mk = lambda r1p_unused: dict(
+        seqs=np.zeros((1, lpad), np.int8), oh=fake, key32=fake,
+        scal4=fake, rseqs=None, cmax=12.0,
+    )
+    # 12 ge-chains at r1p=128, tile 768: Q = 12*128*768*4 = 4.5 MiB
+    # fits the 6 MiB budget alone (v2) but not plus the ~2.4 MiB ring
+    chains = P._v2_chains(MN, False, 12.0)
+    assert P._v2_scratch_ok(chains, 128, 768)
+    assert not P._v3_scratch_ok(chains, 128, 768, 768, lpad)
+    kind = P._dense_kernel_kind(
+        mk(128), mk(128), indels=False, score_int=MN,
+        ignore_counts=False, r1p=128, tile_n=768, tile_m=768,
+    )
+    assert kind == "v2"
+    # small r1p: the ring fits and v3 takes over
+    kind = P._dense_kernel_kind(
+        mk(8), mk(8), indels=False, score_int=MN,
+        ignore_counts=False, r1p=8, tile_n=768, tile_m=768,
+    )
+    assert kind == "v3"

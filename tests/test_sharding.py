@@ -208,3 +208,60 @@ def test_input_shard_merge(tmp_path, monkeypatch):
     assert any(want.values()), "fixture produced no matches"
     for key in keys:
         assert merged.get(key, 0.0) == want.get(key, 0.0), key
+
+
+def test_balanced_bounds_even_tiles(dbs, monkeypatch):
+    """Tile-count-balanced shard bounds (parallel/mesh._balanced_bounds):
+    tiny sets (fewer than 4 blocks per shard) must fall back to equal
+    row spans, big sets must partition the packed rows contiguously on
+    block boundaries with per-shard tile counts at least as even as
+    equal spans — and both layouts must produce the identical matrix."""
+    from compairr_tpu.parallel import mesh as M
+    from compairr_tpu.ops.engine import pack_set, worklist_from_keys
+
+    d1, d2 = dbs
+    spec = MatchSpec(differences=1, indels=False, ignore_genes=False)
+    devs = jax.devices()[:4]
+
+    m_bal = dense_matrix_sharded(d1, d2, spec, SCORE_PRODUCT, False, devs)
+    bal = dict(M.LAST_STATS)
+    monkeypatch.setenv("COMPAIRR_SHARD_BALANCE", "0")
+    m_eq = dense_matrix_sharded(d1, d2, spec, SCORE_PRODUCT, False, devs)
+    eq = dict(M.LAST_STATS)
+    np.testing.assert_allclose(m_bal, m_eq, rtol=0, atol=0)
+
+    # tiny fixture (600 rows, tile 256 -> 3 blocks < 4*4): fallback
+    lmax = int(max(d1.longest, d2.longest, 1))
+    a = pack_set(d1, lmax, 256, True)
+    b = pack_set(d2, lmax, 256, True)
+    assert (
+        M._balanced_bounds(a, b, spec, 256, 256, 4)
+        == M._equal_span_bounds(a.n, 4)
+    )
+
+    # big synthetic: enough blocks to balance at block granularity
+    import bench
+
+    big = bench.synth_arrays(40_000, n_reps=8, n_v=12, n_j=5, seed=7)
+    ab = pack_set(big, int(big.longest), 256, True)
+    n_shards = 4
+    bounds = M._balanced_bounds(ab, ab, spec, 256, 256, n_shards)
+    assert bounds[0][0] == 0 and bounds[-1][1] == ab.n
+    tiles = []
+    for (lo, hi), (lo2, _h) in zip(bounds, bounds[1:] + [(ab.n, ab.n)]):
+        assert hi == lo2 or lo2 == ab.n
+        assert lo % 256 == 0
+    for lo, hi in bounds:
+        w = worklist_from_keys(
+            ab.key[lo:hi], hi - lo, ab.key, ab.n, 0, 256, 256
+        ) if hi > lo else []
+        tiles.append(len(w))
+    per = -(-ab.n // n_shards)
+    eq_tiles = []
+    for k in range(n_shards):
+        lo, hi = min(k * per, ab.n), min(k * per + per, ab.n)
+        w = worklist_from_keys(
+            ab.key[lo:hi], hi - lo, ab.key, ab.n, 0, 256, 256
+        ) if hi > lo else []
+        eq_tiles.append(len(w))
+    assert max(tiles) <= max(eq_tiles)
