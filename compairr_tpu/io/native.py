@@ -1038,6 +1038,39 @@ def pack5_rows_native(seqs, n_rows_out: int, lpad: int, nw: int,
     return out
 
 
+def pack_keys_native(v_no, j_no, lengths, nj: int, by_vjl: bool):
+    """Stable (v,j,length)-bucket sort order + sorted real keys via
+    the native counting sort (pack_group.cpp pack_keys_vjl) — replaces
+    numpy's key-build temporaries + radix argsort on the device-path
+    critical wall. Returns (order int32[n], keys int64[n]) or None
+    (missing library, COMPAIRR_NATIVE_IO=0, or out-of-range vj/len —
+    callers keep the numpy path)."""
+    if os.environ.get("COMPAIRR_NATIVE_IO") == "0":
+        return None
+    lib = load_library()
+    if lib is None or not hasattr(lib, "pack_keys_vjl"):
+        return None
+    v = np.ascontiguousarray(v_no, dtype=np.int32)
+    j = np.ascontiguousarray(j_no, dtype=np.int32)
+    ln = np.ascontiguousarray(lengths, dtype=np.int32)
+    n = len(ln)
+    order = np.empty(n, dtype=np.int32)
+    keys = np.empty(n, dtype=np.int64)
+    rc = lib.pack_keys_vjl(
+        v.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        j.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        ln.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        ct.c_int64(n),
+        ct.c_int64(nj),
+        ct.c_int(1 if by_vjl else 0),
+        order.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        keys.ctypes.data_as(ct.POINTER(ct.c_int64)),
+    )
+    if rc != 0:
+        return None
+    return order, keys
+
+
 def group_pieces_native(seqs, lengths, meta, piece: int, pieces: int,
                         progress=None):
     """Fused pigeonhole piece grouping (native/pack_group.cpp

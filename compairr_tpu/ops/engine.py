@@ -285,22 +285,34 @@ def pack_keys(db: SeqDB, tile: int, by_vjl: bool):
     the device (pallas_kernels.device_args_raw). Returns
     (order int32[n], keys int64[npad], npad)."""
     n = db.n
+    nj = max(len(db.genes.j_names), 1)
+    npad = canon_rows(n, tile)
+    if n:
+        # native stable counting sort over the tiny (vj, len) bin
+        # domain: one count + one scatter pass instead of numpy's
+        # int64 key temporaries + radix argsort (~9-16 s of a Keck
+        # device-path wall, mostly first-touch page faults)
+        from ..io.native import pack_keys_native
+
+        nat = pack_keys_native(db.v_no, db.j_no, db.lengths, nj, by_vjl)
+        if nat is not None:
+            order, keys_sorted = nat
+            key = np.full(npad, _KEY_PAD, dtype=np.int64)
+            key[:n] = keys_sorted
+            return order, key, npad
     if by_vjl:
-        nj = max(len(db.genes.j_names), 1)
         vj = db.v_no.astype(np.int64) * nj + db.j_no.astype(np.int64)
         key_real = (vj << 16) | db.lengths.astype(np.int64)
     else:
         key_real = db.lengths.astype(np.int64)
-    # int32 keys sort ~2x faster (radix passes scale with width; the
-    # argsort is ~8 s of a Keck run's critical path in int64) and are
-    # exactly the fused-kernel eligibility domain anyway
+    # int32 keys sort ~2x faster (radix passes scale with width) and
+    # are exactly the fused-kernel eligibility domain anyway
     sort_view = (
         key_real.astype(np.int32)
         if n == 0 or key_real.max() < (1 << 31)
         else key_real
     )
     order = np.argsort(sort_view, kind="stable").astype(np.int32)
-    npad = canon_rows(n, tile)
     key = np.full(npad, _KEY_PAD, dtype=np.int64)
     if n:
         key[:n] = key_real[order]

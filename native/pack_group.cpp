@@ -250,6 +250,53 @@ int64_t group_mt(int64_t n, int n_threads, HashFn&& hf, EqFn&& eq,
 
 extern "C" {
 
+// Stable counting sort by the (v,j,length) bucket key — the host half
+// of the zero-copy pallas pack (engine.pack_keys). The key domain is
+// tiny ((v*nj+j) * (lmax+1) + len, tens of thousands of bins for real
+// gene tables), so one O(n) count pass + one O(n) stable scatter
+// replaces numpy's 24M-row key-build temporaries and radix argsort
+// (~9-16 s of a Keck device-path run's critical wall, dominated by
+// first-touch page faults on this host). by_vjl=0 sorts by length
+// alone (ignore_genes). Writes order[n] (int32) and the sorted real
+// keys keys64[n] ((vj<<16)|len, matching the numpy path bit-exactly);
+// returns 0, or -1 when the bin table would be degenerate
+// (vj/length out of the expected range) so the caller falls back.
+int pack_keys_vjl(const int32_t* v, const int32_t* j,
+                  const int32_t* len, int64_t n, int64_t nj,
+                  int by_vjl, int32_t* order, int64_t* keys64) {
+  if (n <= 0) return 0;
+  int64_t lmax = 0, vjmax = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (len[i] < 0 || len[i] > 0xFFFF) return -1;
+    if (len[i] > lmax) lmax = len[i];
+  }
+  if (by_vjl) {
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t vj = (int64_t)v[i] * nj + j[i];
+      if (vj < 0 || vj > (1 << 14)) return -1;
+      if (vj > vjmax) vjmax = vj;
+    }
+  }
+  const int64_t lbins = lmax + 1;
+  const int64_t nbins = (vjmax + 1) * lbins;
+  int64_t* cnt = (int64_t*)calloc((size_t)nbins + 1, sizeof(int64_t));
+  if (!cnt) return -1;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t vj = by_vjl ? (int64_t)v[i] * nj + j[i] : 0;
+    cnt[vj * lbins + len[i] + 1]++;
+  }
+  for (int64_t b = 1; b <= nbins; ++b) cnt[b] += cnt[b - 1];
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t vj = by_vjl ? (int64_t)v[i] * nj + j[i] : 0;
+    int64_t key = by_vjl ? ((vj << 16) | len[i]) : (int64_t)len[i];
+    int64_t p = cnt[vj * lbins + len[i]]++;
+    order[p] = (int32_t)i;
+    keys64[p] = key;
+  }
+  free(cnt);
+  return 0;
+}
+
 int64_t group_progress() {
   return g_group_progress.load(std::memory_order_relaxed);
 }

@@ -381,3 +381,42 @@ def test_group_progress_ticks_interactively():
     assert len(ticks) >= 2
     assert all(0 <= t <= n for t in ticks)
     assert ticks == sorted(ticks)
+
+
+def test_pack_keys_native_matches_numpy(monkeypatch):
+    """The native counting-sort pack (pack_group.cpp pack_keys_vjl)
+    must reproduce numpy's stable argsort order and sorted key vector
+    bit-exactly, for both key modes, including tie runs (equal keys
+    keep input order — the downstream worklists and canonical output
+    orders depend on it)."""
+    import numpy as np
+
+    from compairr_tpu.io.native import load_library, pack_keys_native
+    from compairr_tpu.ops.engine import pack_keys
+
+    if load_library() is None or not hasattr(
+        load_library(), "pack_keys_vjl"
+    ):
+        import pytest
+
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(5)
+    n = 30_000
+
+    class G:
+        j_names = [f"J{k}" for k in range(7)]
+
+    db = type("D", (), {})()
+    db.n = n
+    db.v_no = rng.integers(0, 40, n).astype(np.int32)
+    db.j_no = rng.integers(0, 7, n).astype(np.int32)
+    db.lengths = rng.integers(5, 30, n).astype(np.int32)
+    db.genes = G()
+    for by_vjl in (True, False):
+        o1, k1, p1 = pack_keys(db, 256, by_vjl)
+        monkeypatch.setenv("COMPAIRR_NATIVE_IO", "0")
+        o2, k2, p2 = pack_keys(db, 256, by_vjl)
+        monkeypatch.delenv("COMPAIRR_NATIVE_IO")
+        assert p1 == p2
+        np.testing.assert_array_equal(o1, o2)
+        np.testing.assert_array_equal(k1, k2)
