@@ -1366,8 +1366,14 @@ def route_profile() -> float:
             t0 = _time.perf_counter()
             np.asarray(jax.device_put(x))
             best = min(best, _time.perf_counter() - t0)
-        # H2D + D2H ~ 2 dispatches
-        return _note_profile(max(best / 2.0, 1e-5), "auto")
+        rtt = best / 2.0  # H2D + D2H ~ 2 dispatches
+        if rtt > 1.0:
+            # a tiny round trip measuring >1 s is a transient (chip
+            # claim recovery, tunnel brown-out), not a property of the
+            # machine — deriving routing constants from it would pin
+            # nonsense for the process lifetime
+            return _note_profile(_RTT_TUNNEL, "tunnel(degraded-measure)")
+        return _note_profile(max(rtt, 1e-5), "auto")
     except Exception:
         return _note_profile(_RTT_TUNNEL, "tunnel(measure-failed)")
 

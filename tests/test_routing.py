@@ -201,3 +201,25 @@ def test_route_profile_auto_end_to_end(tmp_path):
     # on live TPU the same line carries the measured value
     assert "Dispatch RTT (cpu): 1.000 ms" in log_auto
     assert "Dispatch RTT" not in log_pin
+
+
+def test_route_profile_degraded_measurement(monkeypatch):
+    """A transiently catastrophic RTT measurement (chip-claim
+    recovery, tunnel brown-out) must not pin nonsense routing
+    constants for the process: measurements over 1 s fall back to the
+    tunnel default, with the source recorded."""
+    import time as time_mod
+
+    from compairr_tpu.ops import engine as E
+
+    monkeypatch.setenv("COMPAIRR_ROUTE_PROFILE", "auto")
+    E.route_profile.cache_clear()
+    monkeypatch.setattr(E.jax, "default_backend", lambda: "tpu")
+
+    ticks = iter([0.0, 30.0, 60.0, 90.0, 120.0, 150.0, 180.0, 210.0])
+    monkeypatch.setattr(time_mod, "perf_counter", lambda: next(ticks))
+    monkeypatch.setattr(E.jax, "device_put", lambda x: x)
+    rtt = E.route_profile()
+    E.route_profile.cache_clear()
+    assert rtt == E._RTT_TUNNEL
+    assert E.ROUTE_PROFILE_INFO[1] == "tunnel(degraded-measure)"
