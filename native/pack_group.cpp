@@ -279,6 +279,9 @@ int pack_keys_vjl(const int32_t* v, const int32_t* j,
   }
   const int64_t lbins = lmax + 1;
   const int64_t nbins = (vjmax + 1) * lbins;
+  // cap the bin table (pathological gene-table x length combinations
+  // could otherwise allocate GBs); callers fall back to numpy
+  if (nbins > (int64_t)1 << 24) return -1;
   int64_t* cnt = (int64_t*)calloc((size_t)nbins + 1, sizeof(int64_t));
   if (!cnt) return -1;
   for (int64_t i = 0; i < n; ++i) {
